@@ -1,0 +1,39 @@
+"""nbody_tpu — TPU-native N-body / cosmological precision-study framework.
+
+A ground-up JAX / XLA / Pallas re-design with the capabilities of the
+reference repo ``nuclearbombmods/nbody-cosmological-simulation`` (a
+PyTorch/CUDA N-body engine studying how numerical precision breaks
+conservation laws). See SURVEY.md at the repo root for the full blueprint.
+
+Layout:
+    ops/          precision ladder, double-double arithmetic, force kernels
+                  (dense / tiled / Pallas), particle-mesh operators
+    models/       particle state pytrees, initial conditions, engines
+    diagnostics/  on-device metrics, power spectra, glitch/anomaly suite
+    parallel/     mesh + shard_map ring force, sharded PM
+    utils/        reproducibility, profiling, plotting
+    engines/      cosmological orchestration engines (2D/3D/genesis/...)
+    experiments/  experiment CLIs (stability, sensitivity, falsification...)
+    realtime/     streaming realtime engine
+"""
+
+__version__ = "0.1.0"
+
+from nbody_tpu.config import DEFAULT_SIM, PLANCK18, Cosmology, SimConfig
+from nbody_tpu.ops.precision import (
+    Precision,
+    Quantizer,
+    describe_mode,
+    get_mode_from_string,
+)
+
+__all__ = [
+    "DEFAULT_SIM",
+    "PLANCK18",
+    "Cosmology",
+    "SimConfig",
+    "Precision",
+    "Quantizer",
+    "describe_mode",
+    "get_mode_from_string",
+]

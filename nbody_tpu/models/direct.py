@@ -1,0 +1,296 @@
+"""Direct O(N^2) N-body engine: kick-drift-kick leapfrog under lax.scan.
+
+Re-design of the reference engine (reference: simulation.py:12-250). The
+step is a pure function of a state pytree; a whole run is a jitted
+``lax.scan`` over chunks with fused on-device metric snapshots at chunk
+boundaries — the reference's per-callback ``.item()`` device syncs
+(simulation.py:174,192) disappear.
+
+Precision ladder:
+* degraded modes (f32/bf16/f16/int8/int4/custom) run on ``ParticleState``
+  (f32 state) with the quantization hook inside the force kernel;
+* the float64 baseline runs on ``BaselineState`` (double-double state,
+  compensated force accumulation) because TPUs have no f64 ALU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.config import DEFAULT_SIM, SimConfig
+from nbody_tpu.diagnostics import metrics as metrics_lib
+from nbody_tpu.models.state import (
+    BaselineState,
+    ParticleState,
+    make_baseline_state,
+    make_state,
+)
+from nbody_tpu.ops import doubledouble as dd
+from nbody_tpu.ops import forces
+from nbody_tpu.ops.precision import Precision, Quantizer
+
+
+def _force_fn(impl: str, n: int):
+    """Pick a force implementation. 'auto' = dense at small N (cheapest to
+    compile), tiled otherwise; 'pallas' = the TPU production kernel."""
+    if impl == "auto":
+        impl = "dense" if n <= 2048 else "tiled"
+    if impl == "dense":
+        return forces.dense_accelerations
+    if impl == "tiled":
+        return forces.tiled_accelerations
+    if impl == "pallas":
+        from nbody_tpu.ops.pallas_nbody import pallas_accelerations
+        return pallas_accelerations
+    raise ValueError(f"unknown force impl: {impl}")
+
+
+# --------------------------------------------------------------------------
+# Functional core
+# --------------------------------------------------------------------------
+
+def leapfrog_step(state: ParticleState, q: Quantizer, cfg: SimConfig,
+                  force: Callable, quantize_forces: bool) -> ParticleState:
+    """One KDK step (reference: simulation.py:120-143)."""
+    half_dt = cfg.dt * 0.5
+    vel = state.velocities + state.accelerations * half_dt
+    pos = state.positions + vel * cfg.dt
+    acc = force(pos, state.masses, q, cfg, quantize_forces=quantize_forces)
+    vel = vel + acc * half_dt
+    return ParticleState(pos, vel, state.masses, acc, state.tick + 1)
+
+
+def leapfrog_step_baseline(state: BaselineState, cfg: SimConfig) -> BaselineState:
+    """One KDK step in double-double state (emulated-f64 baseline)."""
+    half_dt = jnp.float32(cfg.dt * 0.5)
+    vel = dd.dd_add_f32(state.velocities, state.accelerations * half_dt)
+    pos = dd.dd_add(state.positions, dd.dd_mul_f32(vel, jnp.float32(cfg.dt)))
+    acc = forces.baseline_accelerations_dd(pos.to_f32(), state.masses, cfg)
+    vel = dd.dd_add_f32(vel, acc * half_dt)
+    return BaselineState(pos, vel, state.masses, acc, state.tick + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
+                                             "quantize_forces", "num_steps"))
+def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
+              impl: str, quantize_forces: bool, num_steps: int) -> ParticleState:
+    """num_steps leapfrog steps as one fused on-device scan."""
+    force = _force_fn(impl, state.positions.shape[0])
+
+    def body(s, _):
+        return leapfrog_step(s, q, cfg, force, quantize_forces), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def run_steps_baseline(state: BaselineState, cfg: SimConfig,
+                       num_steps: int) -> BaselineState:
+    def body(s, _):
+        return leapfrog_step_baseline(s, cfg), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
+                                             "quantize_forces", "steps_per_chunk",
+                                             "num_chunks", "num_bins"))
+def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
+                       impl: str, quantize_forces: bool,
+                       steps_per_chunk: int, num_chunks: int,
+                       num_bins: int = 20):
+    """Run num_chunks * steps_per_chunk ticks; emit a fused metrics Snapshot
+    and a position frame after each chunk. Entirely on-device: one jitted
+    program, outputs stacked along a leading chunk axis."""
+    force = _force_fn(impl, state.positions.shape[0])
+
+    def chunk(s, _):
+        def body(ss, __):
+            return leapfrog_step(ss, q, cfg, force, quantize_forces), None
+
+        s, _ = jax.lax.scan(body, s, None, length=steps_per_chunk)
+        snap = metrics_lib.snapshot(s.positions, s.velocities, s.masses,
+                                    s.tick, cfg, num_bins=num_bins)
+        return s, (snap, s.positions)
+
+    state, (snaps, frames) = jax.lax.scan(chunk, state, None, length=num_chunks)
+    return state, snaps, frames
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps_per_chunk",
+                                             "num_chunks", "num_bins"))
+def run_with_snapshots_baseline(state: BaselineState, cfg: SimConfig,
+                                steps_per_chunk: int, num_chunks: int,
+                                num_bins: int = 20):
+    def chunk(s, _):
+        def body(ss, __):
+            return leapfrog_step_baseline(ss, cfg), None
+
+        s, _ = jax.lax.scan(body, s, None, length=steps_per_chunk)
+        f32 = s.to_f32()
+        snap = metrics_lib.snapshot(f32.positions, f32.velocities, f32.masses,
+                                    f32.tick, cfg, num_bins=num_bins)
+        return s, (snap, f32.positions)
+
+    state, (snaps, frames) = jax.lax.scan(chunk, state, None, length=num_chunks)
+    return state, snaps, frames
+
+
+# --------------------------------------------------------------------------
+# Engine wrapper (reference-parity API)
+# --------------------------------------------------------------------------
+
+class DirectSimulation:
+    """Thin stateful wrapper mirroring the reference's GalaxySimulation API
+    (reference: simulation.py:12-196): step / run / get_state / energies —
+    while all computation stays in the jitted functional core."""
+
+    def __init__(self, positions, velocities, masses,
+                 precision: Quantizer | Precision | str = Precision.FLOAT32,
+                 cfg: SimConfig = DEFAULT_SIM,
+                 G: Optional[float] = None,
+                 softening: Optional[float] = None,
+                 dt: Optional[float] = None,
+                 force_impl: str = "auto",
+                 quantize_forces: Optional[bool] = None,
+                 custom_levels: int = 64):
+        if isinstance(precision, str):
+            precision = Quantizer.from_string(precision, custom_levels)
+        elif isinstance(precision, Precision):
+            precision = Quantizer(mode=precision, custom_levels=custom_levels)
+        self.quantizer = precision
+        if G is not None or softening is not None or dt is not None:
+            cfg = SimConfig(G=G if G is not None else cfg.G,
+                            softening=softening if softening is not None else cfg.softening,
+                            dt=dt if dt is not None else cfg.dt)
+        self.cfg = cfg
+        self.force_impl = force_impl
+        if quantize_forces is None:
+            # Reference applies force quantization only for int8/int4
+            # (simulation.py:115-116), not CUSTOM.
+            quantize_forces = self.quantizer.mode in (Precision.INT4_SIM,
+                                                      Precision.INT8_SIM)
+        self.quantize_forces = quantize_forces
+        self.is_baseline = self.quantizer.mode == Precision.FLOAT64
+
+        if self.is_baseline:
+            self.state = make_baseline_state(positions, velocities, masses)
+            acc = forces.baseline_accelerations_dd(
+                self.state.positions.hi, self.state.masses, cfg)
+            self.state = self.state._replace(accelerations=acc)
+        else:
+            self.state = make_state(positions, velocities, masses)
+            force = _force_fn(force_impl, self.state.num_particles)
+            acc = force(self.state.positions, self.state.masses,
+                        self.quantizer, cfg,
+                        quantize_forces=self.quantize_forces)
+            self.state = self.state._replace(accelerations=acc)
+
+    # -- stepping -----------------------------------------------------------
+
+    @property
+    def tick(self) -> int:
+        return int(self.state.tick)
+
+    @property
+    def positions(self):
+        return (self.state.positions.to_f32() if self.is_baseline
+                else self.state.positions)
+
+    @property
+    def velocities(self):
+        return (self.state.velocities.to_f32() if self.is_baseline
+                else self.state.velocities)
+
+    @property
+    def masses(self):
+        return self.state.masses
+
+    def step(self, num_steps: int = 1):
+        if self.is_baseline:
+            self.state = run_steps_baseline(self.state, self.cfg, num_steps)
+        else:
+            self.state = run_steps(self.state, self.quantizer, self.cfg,
+                                   self.force_impl, self.quantize_forces,
+                                   num_steps)
+
+    def run(self, num_ticks: int, callback: Optional[Callable] = None,
+            callback_interval: int = 100):
+        """Chunked run with an optional host callback at interval boundaries
+        (reference: simulation.py:145-158). Without a callback this is one
+        fused scan."""
+        if callback is None:
+            self.step(num_ticks)
+            return
+        done = 0
+        while done < num_ticks:
+            chunk = min(callback_interval, num_ticks - done)
+            self.step(chunk)
+            done += chunk
+            callback(self, self.tick)
+
+    def run_with_history(self, num_ticks: int, snapshot_interval: int = 100,
+                         num_bins: int = 20):
+        """Fully on-device run; returns (snapshots, position_frames) stacked
+        over snapshot boundaries — the TPU-native replacement for the
+        reference's record_callback history (simulation.py:229-242)."""
+        num_chunks = max(num_ticks // snapshot_interval, 1)
+        steps = snapshot_interval if num_ticks >= snapshot_interval else num_ticks
+        if self.is_baseline:
+            self.state, snaps, frames = run_with_snapshots_baseline(
+                self.state, self.cfg, steps, num_chunks, num_bins)
+        else:
+            self.state, snaps, frames = run_with_snapshots(
+                self.state, self.quantizer, self.cfg, self.force_impl,
+                self.quantize_forces, steps, num_chunks, num_bins)
+        return snaps, frames
+
+    # -- diagnostics --------------------------------------------------------
+
+    def get_kinetic_energy(self) -> float:
+        return float(metrics_lib.kinetic_energy(self.velocities, self.masses))
+
+    def get_potential_energy(self) -> float:
+        return float(metrics_lib.potential_energy(self.positions, self.masses,
+                                                  self.cfg))
+
+    def get_total_energy(self) -> float:
+        return float(metrics_lib.total_energy(self.positions, self.velocities,
+                                              self.masses, self.cfg))
+
+    def get_state(self) -> dict:
+        """Reference-parity state export (reference: simulation.py:160-168)."""
+        return {
+            "positions": self.positions,
+            "velocities": self.velocities,
+            "masses": self.masses,
+            "tick": self.tick,
+            "precision_mode": self.quantizer.mode.value,
+        }
+
+
+def run_comparison(positions, velocities, masses, modes,
+                   num_ticks: int = 1000, snapshot_interval: int = 100,
+                   **sim_kwargs):
+    """Same ICs under several precision modes
+    (reference: simulation.py:199-250). Returns {mode_value: {...}}."""
+    results = {}
+    for mode in modes:
+        sim = DirectSimulation(positions, velocities, masses,
+                               precision=mode, **sim_kwargs)
+        e0 = sim.get_total_energy()
+        snaps, frames = sim.run_with_history(num_ticks, snapshot_interval)
+        results[sim.quantizer.mode.value] = {
+            "final_state": sim.get_state(),
+            "snapshots": snaps,
+            "frames": frames,
+            "initial_energy": e0,
+            "simulation": sim,
+        }
+    return results

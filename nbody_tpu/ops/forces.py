@@ -1,0 +1,166 @@
+"""Softened all-pairs gravity with a precision-degradation hook.
+
+Re-design of the reference's direct force kernel
+(reference: simulation.py:74-118). Three implementations share identical
+semantics:
+
+* ``dense_accelerations`` — materialises the (N, N) pairwise block; used as
+  the correctness oracle at small N and by unit tests.
+* ``tiled_accelerations`` — lax.map over row blocks; O(N) memory, runs
+  anywhere (CPU tests, TPU), compiles to a fused XLA loop.
+* the Pallas kernel in ``nbody_tpu.ops.pallas_nbody`` — the production TPU
+  path (VMEM-tiled, in-tile quantization).
+
+The int-sim quantizer needs the global log-bounds of the softened dist^2
+matrix. The global min is analytic (diagonal == softening^2, see
+``precision.dist_sq_log_bounds``); the global max comes from a cheap
+separate max pass (``max_pairwise_dist_sq``) so that tiled execution
+reproduces the reference's tensor-global normalisation
+(reference: quantization.py:112-121) exactly.
+
+Physics (reference: simulation.py:83-117):
+    diff[i, j] = x_j - x_i
+    d2[i, j]   = |diff|^2 + softening^2
+    d2q        = quantize(d2, mode)
+    acc[i]     = G * sum_{j != i} m_j * diff[i, j] / d2q^{3/2}
+    acc        = quantize_force(acc) for int8/int4 modes
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.ops import doubledouble as dd
+from nbody_tpu.ops.precision import (
+    Quantizer,
+    dist_sq_log_bounds,
+    quantize_distance_squared,
+    quantize_force,
+)
+
+
+def _pair_block(pos_i, pos_j, masses_j, self_mask, q: Quantizer,
+                cfg: SimConfig, log_lo, log_hi):
+    """Acceleration of a block of receivers `pos_i` due to sources `pos_j`.
+
+    pos_i: (B, D), pos_j: (M, D), masses_j: (M,), self_mask: (B, M) bool
+    marking entries where receiver == source (to be zeroed).
+    Returns (B, D) f32.
+    """
+    # (B, M, D) displacement; D is 2 or 3 so this is VPU-friendly.
+    diff = pos_j[None, :, :] - pos_i[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq  # (B, M)
+    d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
+    # 1/d^3 = rsqrt(d2)^3 — one transcendental per pair.
+    inv_d = jax.lax.rsqrt(d2q.astype(jnp.float32))
+    inv_d3 = inv_d * inv_d * inv_d
+    factor = cfg.G * masses_j[None, :] * inv_d3  # (B, M)
+    factor = jnp.where(self_mask, 0.0, factor)
+    return jnp.einsum("bm,bmd->bd", factor, diff)
+
+
+def max_pairwise_dist_sq(positions: jnp.ndarray, cfg: SimConfig,
+                         block: int = 1024) -> jnp.ndarray:
+    """Global max of the softened pairwise dist^2 matrix, O(N) memory.
+
+    Needed only for int-sim modes (the log-grid's upper bound)."""
+    n = positions.shape[0]
+    pad = (-n) % block
+    pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+    # padded rows replicate row 0: they cannot exceed the true max because
+    # their pairwise distances are a subset of existing ones.
+    pos_p = pos_p.at[n:].set(positions[0]) if pad else pos_p
+
+    def row_block_max(pos_i):
+        diff = positions[None, :, :] - pos_i[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        return jnp.max(d2)
+
+    blocks = pos_p.reshape(-1, block, positions.shape[1])
+    maxes = jax.lax.map(row_block_max, blocks)
+    return jnp.max(maxes) + cfg.softening_sq
+
+
+def _quant_bounds(positions, q: Quantizer, cfg: SimConfig):
+    """(log_lo, log_hi) for int modes, else (None, None)."""
+    if not q.is_int:
+        return None, None
+    max_d2 = max_pairwise_dist_sq(positions, cfg)
+    return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+
+
+def _maybe_quantize_force(acc, q: Quantizer, quantize_forces: bool):
+    if quantize_forces and q.is_int:
+        return quantize_force(acc, q)
+    return acc
+
+
+def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
+                        quantize_forces: bool = True) -> jnp.ndarray:
+    """Oracle implementation: materialises (N, N). Small N only."""
+    n = positions.shape[0]
+    # Use the same bounds helper as the tiled/Pallas paths so all three
+    # implementations quantize onto bit-identical grids (a 1-ulp bound
+    # difference can flip a bin and move a force by a whole grid step).
+    log_lo, log_hi = _quant_bounds(positions, q, cfg)
+    self_mask = jnp.eye(n, dtype=bool)
+    acc = _pair_block(positions, positions, masses, self_mask, q, cfg,
+                      log_lo, log_hi)
+    return _maybe_quantize_force(acc, q, quantize_forces)
+
+
+def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
+                        quantize_forces: bool = True,
+                        block: int = 1024) -> jnp.ndarray:
+    """O(N) memory row-blocked force evaluation (any backend)."""
+    n, d = positions.shape
+    log_lo, log_hi = _quant_bounds(positions, q, cfg)
+
+    pad = (-n) % block
+    pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+    row_ids = jnp.arange(n + pad)
+
+    def block_fn(args):
+        pos_i, ids_i = args
+        self_mask = ids_i[:, None] == jnp.arange(n)[None, :]
+        return _pair_block(pos_i, positions, masses, self_mask, q, cfg,
+                           log_lo, log_hi)
+
+    blocks = (pos_p.reshape(-1, block, d), row_ids.reshape(-1, block))
+    acc = jax.lax.map(block_fn, blocks).reshape(-1, d)[:n]
+    return _maybe_quantize_force(acc, q, quantize_forces)
+
+
+def baseline_accelerations_dd(positions, masses, cfg: SimConfig,
+                              block: int = 1024) -> jnp.ndarray:
+    """Extended-precision force for the emulated-f64 baseline.
+
+    f32 pairwise terms with a compensated (double-double) sum over sources,
+    removing the O(sqrt(N) * eps) random-walk of naive f32 accumulation.
+    Returns f32 (the compensation matters for the *sum*, whose residual is
+    re-added before the final rounding).
+    """
+    n, d = positions.shape
+    pad = (-n) % block
+    pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+    row_ids = jnp.arange(n + pad)
+
+    def block_fn(args):
+        pos_i, ids_i = args
+        diff = positions[None, :, :] - pos_i[:, None, :]  # (B, N, D)
+        d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+        inv_d = jax.lax.rsqrt(d2)
+        inv_d3 = inv_d * inv_d * inv_d
+        factor = cfg.G * masses[None, :] * inv_d3
+        self_mask = ids_i[:, None] == jnp.arange(n)[None, :]
+        factor = jnp.where(self_mask, 0.0, factor)
+        contrib = factor[:, :, None] * diff  # (B, N, D)
+        s = dd.dd_sum(contrib, axis=1)  # DD of (B, D)
+        return s.hi + s.lo
+
+    blocks = (pos_p.reshape(-1, block, d), row_ids.reshape(-1, block))
+    return jax.lax.map(block_fn, blocks).reshape(-1, d)[:n]
