@@ -35,10 +35,14 @@ from nbody_tpu.ops.precision import Precision, Quantizer
 
 
 def _force_fn(impl: str, n: int):
-    """Pick a force implementation. 'auto' = dense at small N (cheapest to
-    compile), tiled otherwise; 'pallas' = the TPU production kernel."""
+    """Pick a force implementation. 'auto' = the Pallas kernel on TPU,
+    dense at small N / tiled at large N elsewhere (Pallas interpret mode on
+    CPU is debug-speed only)."""
     if impl == "auto":
-        impl = "dense" if n <= 2048 else "tiled"
+        if jax.default_backend() == "tpu" and n >= 512:
+            impl = "pallas"
+        else:
+            impl = "dense" if n <= 2048 else "tiled"
     if impl == "dense":
         return forces.dense_accelerations
     if impl == "tiled":

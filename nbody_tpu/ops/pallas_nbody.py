@@ -4,19 +4,23 @@ The production force path: replaces the reference's (N, N, 2) broadcast
 tensor (reference: simulation.py:83-112, memory-infeasible beyond ~10k
 particles) with a VMEM-tiled O(N^2)-compute / O(N)-memory kernel.
 
-Layout strategy (chosen for the VPU's (sublane, lane) tiling):
-* receivers (i) live on the *lane* axis, sources (j) on the *sublane*
-  axis, so the per-tile reduction over sources is a sublane reduction and
-  the accumulator stays a (1, BI) lane vector — no in-kernel transposes;
-* positions are passed twice, as (D, N) rows for receivers and (N, D)
-  columns for sources, both resident in VMEM for the whole grid (a few MB
-  even at N = 500k);
-* sources are streamed in (BJ, 1) chunks by a fori_loop; padded tail
-  sources carry zero mass, which zeroes their force contribution exactly —
-  no explicit mask;
-* the precision hook (quantize_distance_squared) runs in-tile; the int-sim
-  log-grid uses global bounds precomputed outside (analytic min + a max
-  pass), preserving the reference's tensor-global normalisation
+Layout strategy (chosen for the VPU's (sublane, lane) tiling and VMEM
+padding rules — an (N, 2) array staged whole into VMEM pads its lane axis
+2 -> 128, a 64x blowup, so source data must be lane-major):
+
+* receivers (i) live on the *sublane* axis: each grid step stages one
+  (BI, D) receiver block into VMEM, giving (BI, 1) coordinate columns
+  directly — no in-kernel transposes;
+* sources (j) live on the *lane* axis: one (D+1, N_pad) array holds the
+  coordinate rows plus a G*m_j row, resident in VMEM for the entire grid
+  (~4 MB at N = 131k), streamed in (1, BJ) slices by a fori_loop;
+* padded tail sources carry zero mass, which zeroes their force
+  contribution exactly — no explicit mask;
+* the per-dim accumulator is a (BI, 1) column updated by a lane-axis
+  reduction of the (BI, BJ) tile;
+* the precision hook (quantize_distance_squared) runs in-tile; the
+  int-sim log-grid uses global bounds precomputed outside (analytic min +
+  a max pass), preserving the reference's tensor-global normalisation
   (reference: quantization.py:112-121).
 
 Per pair: ~16 VPU flops + 1 rsqrt; f32 accumulators.
@@ -45,35 +49,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _force_kernel(bounds_ref, pos_rows_ref, pos_cols_ref, gmass_ref, out_ref,
+def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
                   *, q: Quantizer, softening_sq: float, dim: int,
                   block_i: int, block_j: int, n_pad: int):
     """One grid step: accelerations for receiver block i over all sources.
 
     bounds_ref: (1, 2) SMEM — [log_lo, log_hi] for the int-sim quantizer
-    pos_rows_ref: (D, N_pad) VMEM — receiver coordinates, lane-major
-    pos_cols_ref: (N_pad, D) VMEM — source coordinates, sublane-major
-    gmass_ref:  (N_pad, 1) VMEM — G * m_j (zero on padded tail)
-    out_ref:    (D, BI) VMEM — acceleration of this receiver block
+    pos_i_ref:  (BI, D) VMEM — this receiver block (sublane-major)
+    src_ref:    (D+1, N_pad) VMEM — rows 0..D-1: coordinates; row D: G*m_j
+    out_ref:    (BI, D) VMEM — acceleration of this receiver block
     """
     i0 = pl.program_id(0) * block_i
     num_j = n_pad // block_j
 
-    # Receiver coordinates: (1, BI) lane vectors, one per dimension.
-    xi = [pos_rows_ref[d:d + 1, pl.ds(i0, block_i)] for d in range(dim)]
-    # Global receiver indices on the lane axis.
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_i), 1) + i0
+    # Receiver coordinates: (BI, 1) sublane columns, one per dimension.
+    xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
+    # Global receiver indices on the sublane axis.
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
 
     log_lo = bounds_ref[0, 0]
     log_hi = bounds_ref[0, 1]
 
     def j_chunk(jc, acc):
         j0 = jc * block_j
-        # Source coordinates: (BJ, 1) sublane vectors.
-        xj = [pos_cols_ref[pl.ds(j0, block_j), d:d + 1] for d in range(dim)]
-        gm_j = gmass_ref[pl.ds(j0, block_j), :]  # (BJ, 1)
+        # Source coordinates: (1, BJ) lane rows.
+        xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
+        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]  # (1, BJ)
 
-        # (BJ, BI) pairwise tile.
+        # (BI, BJ) pairwise tile.
         diffs = [xj[d] - xi[d] for d in range(dim)]
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
@@ -87,29 +90,97 @@ def _force_kernel(bounds_ref, pos_rows_ref, pos_cols_ref, gmass_ref, out_ref,
             d2q = quantize_distance_squared(d2, q)
 
         inv_d = jax.lax.rsqrt(d2q)
-        factor = gm_j * (inv_d * inv_d * inv_d)  # (BJ, BI) via broadcast
+        factor = gm_j * (inv_d * inv_d * inv_d)  # (BI, BJ) via broadcast
 
         # Zero the self-interaction diagonal.
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (block_j, 1), 0) + j0
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
         factor = jnp.where(j_ids == i_ids, 0.0, factor)
 
-        # Sublane-reduce over sources into (1, BI) lane accumulators.
+        # Lane-reduce over sources into (BI, 1) column accumulators.
         return tuple(
-            acc[d] + jnp.sum(factor * diffs[d], axis=0, keepdims=True)
+            acc[d] + jnp.sum(factor * diffs[d], axis=1, keepdims=True)
             for d in range(dim)
         )
 
-    acc0 = tuple(jnp.zeros((1, block_i), jnp.float32) for _ in range(dim))
+    acc0 = tuple(jnp.zeros((block_i, 1), jnp.float32) for _ in range(dim))
     acc = jax.lax.fori_loop(0, num_j, j_chunk, acc0)
     for d in range(dim):
-        out_ref[d:d + 1, :] = acc[d]
+        out_ref[:, d:d + 1] = acc[d]
+
+
+def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
+                block_j: int, n_pad: int, n: int):
+    """Per-receiver-block max of pairwise |x_i - x_j|^2 over all sources.
+
+    Padded tail rows/columns sit at the origin; to keep origin-to-particle
+    distances from inflating the max, both the padded receivers (sublane
+    mask on global i) and padded sources (lane mask on global j) are
+    replaced by 0 before the reduction.
+    """
+    num_j = n_pad // block_j
+    i0 = pl.program_id(0) * block_i
+    xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
+
+    def j_chunk(jc, best):
+        j0 = jc * block_j
+        xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
+        diffs = [xj[d] - xi[d] for d in range(dim)]
+        d2 = diffs[0] * diffs[0]
+        for d in range(1, dim):
+            d2 = d2 + diffs[d] * diffs[d]
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
+        valid = jnp.logical_and(j_ids < n, i_ids < n)
+        d2 = jnp.where(valid, d2, 0.0)
+        return jnp.maximum(best, jnp.max(d2))
+
+    best = jax.lax.fori_loop(0, num_j, j_chunk, jnp.float32(0.0))
+    out_ref[pl.program_id(0), 0] = best
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block_i", "block_j",
+                                             "interpret"))
+def pallas_max_dist_sq(positions, cfg: SimConfig,
+                       block_i: int = 256, block_j: int = 2048,
+                       interpret: bool | None = None):
+    """Global max softened pairwise dist^2, as a compute-bound Pallas pass.
+
+    Replaces the lax.map version for large N, where XLA materialises
+    GB-scale (B, N, D) intermediates in HBM and the pass goes memory-bound.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, dim = positions.shape
+    n_pad = _round_up(max(n, block_i, block_j), max(block_i, block_j, 128))
+    positions = positions.astype(jnp.float32)
+    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    src = pos_pad.T  # (D, N_pad) lane-major
+
+    kernel = functools.partial(_max_kernel, dim=dim, block_i=block_i,
+                               block_j=block_j, n_pad=n_pad, n=n)
+    grid = (n_pad // block_i,)
+    block_maxes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_i, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad // block_i, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // block_i, 1), jnp.float32),
+        interpret=interpret,
+    )(pos_pad, src)
+    return jnp.max(block_maxes) + cfg.softening_sq
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
                                              "block_i", "block_j", "interpret"))
 def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                          quantize_forces: bool = True,
-                         block_i: int = 512, block_j: int = 1024,
+                         block_i: int = 256, block_j: int = 1024,
                          interpret: bool | None = None):
     """Drop-in replacement for forces.dense/tiled_accelerations on TPU.
 
@@ -117,19 +188,19 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     code path is unit-testable on the CPU mesh."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
     n, dim = positions.shape
-    n_pad = _round_up(n, max(block_i, block_j, 128))
-    if n_pad < max(block_i, block_j):
-        n_pad = max(block_i, block_j)
+    n_pad = _round_up(max(n, block_i, block_j), max(block_i, block_j, 128))
 
     positions = positions.astype(jnp.float32)
-    pos_cols = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
-    pos_rows = pos_cols.T  # (D, N_pad); XLA fuses the transpose
-    gmass = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
+    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    gmass = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
         cfg.G * masses.astype(jnp.float32))
+    # Rows 0..D-1: coordinates (lane-major); row D: G*m_j.
+    src = jnp.concatenate([pos_pad.T, gmass], axis=0)  # (D+1, N_pad)
 
     if q.is_int:
-        max_d2 = max_pairwise_dist_sq(positions, cfg)
+        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
         bounds = jnp.stack([log_lo, log_hi]).reshape(1, 2).astype(jnp.float32)
     else:
@@ -140,31 +211,29 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
         block_i=block_i, block_j=block_j, n_pad=n_pad)
 
     grid = (n_pad // block_i,)
-    acc_rows = pl.pallas_call(
+    acc = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((dim, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((block_i, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, dim), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+            pl.BlockSpec((dim + 1, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((dim, block_i), lambda i: (0, i),
+        out_specs=pl.BlockSpec((block_i, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dim, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=16 * n_pad * n_pad * dim // 2,
             bytes_accessed=3 * n_pad * dim * 4,
             transcendentals=n_pad * n_pad,
         ),
         interpret=interpret,
-    )(bounds, pos_rows, pos_cols, gmass)
+    )(bounds, pos_pad, src)
 
-    acc = acc_rows.T[:n]
+    acc = acc[:n]
     if quantize_forces and q.is_int:
         acc = quantize_force(acc, q)
     return acc

@@ -1,0 +1,80 @@
+"""Pallas force-kernel parity tests (interpret mode on the CPU mesh).
+
+On TPU the same kernels run compiled; interpret mode checks the kernel
+logic (tiling, masking, padding, in-tile quantization) against the dense
+oracle. Int-sim modes may legitimately differ on pairs whose dist^2 lands
+within 1 ulp of a log-grid bin edge (the quantized force then jumps a whole
+bin), so those comparisons are statistical rather than exact.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.models import galaxy
+from nbody_tpu.ops import forces
+from nbody_tpu.ops.pallas_nbody import pallas_accelerations, pallas_max_dist_sq
+from nbody_tpu.ops.precision import Precision, Quantizer
+
+CFG = SimConfig()
+
+
+def _ics(n, seed=0):
+    return galaxy.create_disk_galaxy(jax.random.PRNGKey(seed), num_stars=n)
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.BFLOAT16,
+                                  Precision.FLOAT16])
+def test_pallas_matches_dense_float_modes(mode):
+    pos, vel, m = _ics(300)  # exercises tail padding (300 < block sizes)
+    q = Quantizer(mode)
+    a_pal = pallas_accelerations(pos, m, q, CFG, block_i=128, block_j=256)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", [Precision.INT8_SIM, Precision.INT4_SIM])
+def test_pallas_matches_dense_int_modes(mode):
+    pos, vel, m = _ics(300)
+    q = Quantizer(mode)
+    a_pal = np.asarray(pallas_accelerations(pos, m, q, CFG,
+                                            block_i=128, block_j=256))
+    a_ref = np.asarray(forces.dense_accelerations(pos, m, q, CFG))
+    scale = np.abs(a_ref).max()
+    err = np.abs(a_pal - a_ref)
+    # Nearly all components must match tightly; bin-edge flips may move a
+    # handful by up to one grid step.
+    frac_bad = (err > 1e-4 * scale).mean()
+    assert frac_bad < 0.02, f"{frac_bad:.3%} components off"
+    assert np.isfinite(a_pal).all()
+
+
+def test_pallas_max_dist_sq_matches():
+    pos, _, _ = _ics(700)
+    got = float(pallas_max_dist_sq(pos, CFG, block_i=128, block_j=256))
+    want = float(forces.max_pairwise_dist_sq(pos, CFG))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pallas_max_dist_sq_offcenter_cloud():
+    """Padded rows sit at the origin; a cloud far from the origin must not
+    pick up spurious origin-distance maxima."""
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.normal(key, (137, 2)) + 100.0
+    got = float(pallas_max_dist_sq(pos, CFG, block_i=128, block_j=256))
+    p = np.asarray(pos)
+    want = ((p[None] - p[:, None]) ** 2).sum(-1).max() + CFG.softening_sq
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pallas_masses_affect_force():
+    """Non-uniform masses flow through the G*m_j source row."""
+    pos, vel, m = _ics(256)
+    m2 = m * (1.0 + jax.random.uniform(jax.random.PRNGKey(2), m.shape))
+    q = Quantizer(Precision.FLOAT32)
+    a_pal = pallas_accelerations(pos, m2, q, CFG, block_i=128, block_j=256)
+    a_ref = forces.dense_accelerations(pos, m2, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
