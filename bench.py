@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: pairwise gravitational interactions/sec on one chip.
+
+Runs the flagship Pallas force kernel inside the jitted leapfrog scan
+(the production configuration: zero host round-trips between ticks) at
+N=131072 in float32, and reports throughput against the BASELINE.json
+north-star of 1e10 pairwise interactions/sec/chip (the reference's
+(N, N, 2) broadcast engine cannot reach this N at all — it is memory-bound
+out at ~10k particles, reference: simulation.py:83).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+N = 131072
+STEPS = 10
+BASELINE_PAIRS_PER_SEC = 1e10  # BASELINE.json north-star
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.models.direct import run_steps
+    from nbody_tpu.models.galaxy import create_disk_galaxy
+    from nbody_tpu.models.state import make_state
+    from nbody_tpu.ops.precision import Precision, Quantizer
+
+    cfg = SimConfig()
+    q = Quantizer(Precision.FLOAT32)
+    on_tpu = jax.default_backend() == "tpu"
+    n = N if on_tpu else 2048  # CPU fallback keeps the script runnable
+    impl = "pallas" if on_tpu else "tiled"
+
+    pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(42), num_stars=n)
+    state = make_state(pos, vel, m)
+
+    t0 = time.time()
+    out = run_steps(state, q, cfg, impl, False, STEPS)
+    np.asarray(out.positions[:1])
+    log(f"warmup (compile + {STEPS} steps): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = run_steps(state, q, cfg, impl, False, STEPS)
+    np.asarray(out.positions[:1])
+    wall = time.time() - t0
+
+    ms_per_step = wall / STEPS * 1e3
+    pairs_per_sec = n * n * STEPS / wall
+    log(f"N={n} {STEPS} steps: {ms_per_step:.2f} ms/step")
+
+    print(json.dumps({
+        "metric": f"pairwise_interactions_per_sec_chip_N{n}_f32",
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / BASELINE_PAIRS_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,25 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: compiles on this environment go through a
+# remote TPU compile service with multi-second latency (and the emulated-f64
+# baseline programs are expensive to build); cache every executable on disk.
+if not _os.environ.get("NBODY_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "NBODY_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without these knobs
+        pass
+
 from nbody_tpu.config import DEFAULT_SIM, PLANCK18, Cosmology, SimConfig
 from nbody_tpu.ops.precision import (
     Precision,

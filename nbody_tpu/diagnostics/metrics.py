@@ -9,6 +9,7 @@ reductions that are streamed out once per snapshot interval.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -17,11 +18,18 @@ import jax.numpy as jnp
 from nbody_tpu.config import SimConfig
 from nbody_tpu.ops import doubledouble as dd
 
+# NOTE: every public function here is jitted at module level. On this
+# environment compiles go through a remote service with seconds of latency
+# per XLA program, so an *eager* call into the double-double reduction
+# graph (hundreds of primitives) costs minutes the first time — one fused
+# jit per function makes it a single program.
+
 
 # --------------------------------------------------------------------------
 # Energies (reference: simulation.py:170-196)
 # --------------------------------------------------------------------------
 
+@jax.jit
 def kinetic_energy(velocities, masses) -> jnp.ndarray:
     """KE = 0.5 * sum_i m_i |v_i|^2, compensated sum."""
     v_sq = jnp.sum(velocities * velocities, axis=-1)
@@ -29,6 +37,7 @@ def kinetic_energy(velocities, masses) -> jnp.ndarray:
     return 0.5 * (s.hi + s.lo)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def potential_energy(positions, masses, cfg: SimConfig,
                      block: int = 1024) -> jnp.ndarray:
     """U = -G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2).
@@ -51,16 +60,20 @@ def potential_energy(positions, masses, cfg: SimConfig,
         pair = m_i[:, None] * masses[None, :] * inv_d
         mask = ids_i[:, None] != jnp.arange(n)[None, :]
         pair = jnp.where(mask, pair, 0.0)
-        s = dd.dd_sum(pair.reshape(-1))
+        s = dd.dd_sum_chunked(pair.reshape(-1))
         return s.hi + s.lo
 
     blocks = (pos_p.reshape(-1, block, d), mass_p.reshape(-1, block),
               ids.reshape(-1, block))
+    if blocks[0].shape[0] == 1:
+        partial = block_fn((blocks[0][0], blocks[1][0], blocks[2][0]))
+        return -0.5 * cfg.G * partial
     partial = jax.lax.map(block_fn, blocks)
     total = dd.dd_sum(partial)
     return -0.5 * cfg.G * (total.hi + total.lo)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def total_energy(positions, velocities, masses, cfg: SimConfig) -> jnp.ndarray:
     return kinetic_energy(velocities, masses) + potential_energy(
         positions, masses, cfg)
@@ -76,6 +89,7 @@ class RotationCurve(NamedTuple):
     counts: jnp.ndarray         # (num_bins,) stars per bin
 
 
+@functools.partial(jax.jit, static_argnames=("num_bins",))
 def rotation_curve(positions, velocities, num_bins: int = 20,
                    max_radius=None) -> RotationCurve:
     """Mean tangential velocity vs radius — the dark-matter diagnostic
@@ -101,6 +115,7 @@ def rotation_curve(positions, velocities, num_bins: int = 20,
     return RotationCurve(centers, means, counts.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("percentile",))
 def galaxy_radius(positions, percentile: float = 90.0) -> jnp.ndarray:
     """Radius containing `percentile`% of particles (reference: metrics.py:81-95)."""
     r = jnp.sqrt(jnp.sum(positions * positions, axis=-1))
@@ -109,6 +124,7 @@ def galaxy_radius(positions, percentile: float = 90.0) -> jnp.ndarray:
     return jnp.sort(r)[k]
 
 
+@functools.partial(jax.jit, static_argnames=("G",))
 def bound_fraction(positions, velocities, masses, G: float = 0.001) -> jnp.ndarray:
     """Fraction of particles with v < v_escape from the enclosed mass
     (reference: metrics.py:98-145): sort by radius from the center of mass,
@@ -124,6 +140,7 @@ def bound_fraction(positions, velocities, masses, G: float = 0.001) -> jnp.ndarr
     return jnp.mean((v_mag < v_esc).astype(jnp.float32))
 
 
+@jax.jit
 def velocity_dispersion(velocities) -> jnp.ndarray:
     """Std of |v| — heating indicator (reference: metrics.py:148-156)."""
     v_mag = jnp.sqrt(jnp.sum(velocities * velocities, axis=-1))
@@ -150,6 +167,7 @@ class Snapshot(NamedTuple):
     curve_counts: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "num_bins"))
 def snapshot(positions, velocities, masses, tick, cfg: SimConfig,
              num_bins: int = 20) -> Snapshot:
     ke = kinetic_energy(velocities, masses)

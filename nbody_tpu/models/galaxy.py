@@ -9,6 +9,7 @@ rotation curves) in the tests.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -18,6 +19,7 @@ import jax.numpy as jnp
 Arrays = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
+@functools.partial(jax.jit, static_argnames=("num_stars", "galaxy_radius", "core_mass_fraction", "G"))
 def create_disk_galaxy(key, num_stars: int = 5000, galaxy_radius: float = 10.0,
                        core_mass_fraction: float = 0.3,
                        G: float = 0.001) -> Arrays:
@@ -60,6 +62,7 @@ def create_disk_galaxy(key, num_stars: int = 5000, galaxy_radius: float = 10.0,
     return positions.astype(jnp.float32), velocities.astype(jnp.float32), masses
 
 
+@functools.partial(jax.jit, static_argnames=("num_stars", "G"))
 def create_test_galaxy(key, num_stars: int = 1000,
                        G: float = 0.001) -> Arrays:
     """Uniform disk with Keplerian velocities, for quick experiments
@@ -85,6 +88,7 @@ def nfw_enclosed_mass(r: jnp.ndarray, M_total: float, r_s: float) -> jnp.ndarray
     return M_total * f_x / f_norm
 
 
+@functools.partial(jax.jit, static_argnames=("num_stars", "galaxy_radius", "halo_radius", "dm_mass_ratio", "G"))
 def create_galaxy_with_halo(key, num_stars: int = 5000,
                             galaxy_radius: float = 10.0,
                             halo_radius: float = 30.0,

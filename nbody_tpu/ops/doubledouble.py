@@ -144,6 +144,28 @@ def dd_sum(x: jnp.ndarray, axis=None) -> DD:
     return DD(acc.hi[0], acc.lo[0])
 
 
+def dd_sum_chunked(x: jnp.ndarray, axis: int = 0, chunk: int = 256) -> DD:
+    """Two-level compensated sum: plain f32 sums within chunks (XLA's own
+    tree reduction, error ~ sqrt(chunk) * eps), then a double-double fold
+    across the ~n/chunk partials.
+
+    Rationale: the full dd fold unrolls log2(n) vector levels, which the
+    TPU compiler digests slowly when nested inside scan bodies; chunking
+    cuts the fold depth to log2(n/chunk) while keeping ~f64-level accuracy
+    for the totals the baseline cares about.
+    """
+    x = jnp.moveaxis(jnp.asarray(x, jnp.float32), axis, 0)
+    n = x.shape[0]
+    if n <= chunk:
+        return dd_sum(x, axis=0)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], jnp.float32)], axis=0)
+    partials = x.reshape((-1, chunk) + x.shape[1:]).sum(axis=1)
+    return dd_sum(partials, axis=0)
+
+
 def dd_dot_f32(a: jnp.ndarray, b: jnp.ndarray, axis=None) -> DD:
     """Compensated dot product sum(a*b) -> DD, with exact per-term products."""
     p, e = _two_prod(a, b)

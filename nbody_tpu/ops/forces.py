@@ -63,6 +63,7 @@ def _pair_block(pos_i, pos_j, masses_j, self_mask, q: Quantizer,
     return jnp.einsum("bm,bmd->bd", factor, diff)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def max_pairwise_dist_sq(positions: jnp.ndarray, cfg: SimConfig,
                          block: int = 1024) -> jnp.ndarray:
     """Global max of the softened pairwise dist^2 matrix, O(N) memory.
@@ -99,6 +100,7 @@ def _maybe_quantize_force(acc, q: Quantizer, quantize_forces: bool):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces"))
 def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                         quantize_forces: bool = True) -> jnp.ndarray:
     """Oracle implementation: materialises (N, N). Small N only."""
@@ -113,6 +115,8 @@ def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     return _maybe_quantize_force(acc, q, quantize_forces)
 
 
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
+                                             "block"))
 def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                         quantize_forces: bool = True,
                         block: int = 1024) -> jnp.ndarray:
@@ -135,6 +139,7 @@ def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     return _maybe_quantize_force(acc, q, quantize_forces)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def baseline_accelerations_dd(positions, masses, cfg: SimConfig,
                               block: int = 1024) -> jnp.ndarray:
     """Extended-precision force for the emulated-f64 baseline.
@@ -159,8 +164,10 @@ def baseline_accelerations_dd(positions, masses, cfg: SimConfig,
         self_mask = ids_i[:, None] == jnp.arange(n)[None, :]
         factor = jnp.where(self_mask, 0.0, factor)
         contrib = factor[:, :, None] * diff  # (B, N, D)
-        s = dd.dd_sum(contrib, axis=1)  # DD of (B, D)
+        s = dd.dd_sum_chunked(contrib, axis=1)  # DD of (B, D)
         return s.hi + s.lo
 
     blocks = (pos_p.reshape(-1, block, d), row_ids.reshape(-1, block))
+    if blocks[0].shape[0] == 1:  # single block: skip the map machinery
+        return block_fn((blocks[0][0], blocks[1][0]))[:n]
     return jax.lax.map(block_fn, blocks).reshape(-1, d)[:n]

@@ -1,0 +1,243 @@
+"""Multi-chip particle parallelism: ring-passed all-pairs forces over ICI.
+
+The reference has no distributed execution at all (SURVEY.md §2.5; its
+"cross-machine" feature is offline JSON exchange,
+reference: ultimate_reality_engine.py:694-833). This module is the
+TPU-native scaling axis: particles are sharded across a 1-D device mesh,
+and the O(N^2) interaction is computed by rotating *source* blocks around
+the ring with ``jax.lax.ppermute`` while each device accumulates forces on
+its resident receiver block — structurally identical to ring attention /
+blockwise context parallelism, with force accumulation in place of
+attention combining.
+
+Per ring step each device computes an (N/S, N/S) tile; after S steps every
+pair has been visited exactly once per direction. Communication volume per
+step is the block positions+masses (~N/S * (D+1) * 4 bytes), fully
+overlapped by XLA with the tile compute.
+
+Int-sim modes need the global log-grid bounds first; that is a second,
+cheaper ring pass (max reduction) followed by a ``jax.lax.pmax``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.diagnostics import metrics as metrics_lib
+from nbody_tpu.models.state import ParticleState
+from nbody_tpu.ops.precision import (
+    Quantizer,
+    dist_sq_log_bounds,
+    quantize_distance_squared,
+    quantize_force,
+)
+
+AXIS = "shards"
+
+
+def make_particle_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over all (or the first n) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (AXIS,), devices=devices)
+
+
+def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi):
+    """(B, D) accelerations of receivers xi due to sources xj."""
+    diff = xj[None, :, :] - xi[:, None, :]  # (B, B, D)
+    d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+    d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
+    inv_d = jax.lax.rsqrt(d2q.astype(jnp.float32))
+    factor = gm_j[None, :] * (inv_d * inv_d * inv_d)
+    factor = jnp.where(ids_i[:, None] == ids_j[None, :], 0.0, factor)
+    return jnp.einsum("bm,bmd->bd", factor, diff)
+
+
+def _ring_max_d2(pos_local, ids_local, n_total, cfg):
+    """Global max pairwise dist^2 via a max-reduction ring pass."""
+    axis_size = jax.lax.psum(1, AXIS)
+
+    def step(s, carry):
+        best, pos_j, ids_j = carry
+        diff = pos_j[None, :, :] - pos_local[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        valid = jnp.logical_and(ids_local[:, None] < n_total,
+                                ids_j[None, :] < n_total)
+        best = jnp.maximum(best, jnp.max(jnp.where(valid, d2, 0.0)))
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
+        ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
+        return best, pos_j, ids_j
+
+    best, _, _ = jax.lax.fori_loop(
+        0, axis_size, step, (jnp.float32(0.0), pos_local, ids_local))
+    return jax.lax.pmax(best, AXIS) + cfg.softening_sq
+
+
+def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
+                              q: Quantizer, cfg: SimConfig,
+                              quantize_forces: bool):
+    """Per-device body: accelerations for the resident receiver block.
+
+    Runs inside shard_map. ``ids_local`` are global particle indices
+    (>= n_total marks padding; padded sources carry zero G*m).
+    """
+    axis_size = jax.lax.psum(1, AXIS)
+
+    if q.is_int:
+        max_d2 = _ring_max_d2(pos_local, ids_local, n_total, cfg)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+    else:
+        log_lo = log_hi = None
+
+    def step(s, carry):
+        acc, pos_j, gm_j, ids_j = carry
+        acc = acc + _tile_force(pos_local, ids_local, pos_j, gm_j, ids_j,
+                                q, cfg, log_lo, log_hi)
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
+        gm_j = jax.lax.ppermute(gm_j, AXIS, perm)
+        ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
+        return acc, pos_j, gm_j, ids_j
+
+    acc0 = jnp.zeros_like(pos_local)
+    acc, _, _, _ = jax.lax.fori_loop(
+        0, axis_size, step, (acc0, pos_local, gm_local, ids_local))
+
+    if quantize_forces and q.is_int:
+        # Reference semantics: linear grid over the *global* acc min/max
+        # (reference: quantization.py:74-88 on the full (N, D) tensor).
+        lo = jax.lax.pmin(jnp.min(acc), AXIS)
+        hi = jax.lax.pmax(jnp.max(acc), AXIS)
+        acc = quantize_force(acc, q, lo=lo, hi=hi)
+    return acc
+
+
+def _pad_to_shards(x, n_shards, fill=0.0):
+    n = x.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+    return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("q", "cfg", "quantize_forces", "mesh",
+                                    "num_steps", "steps_per_chunk"))
+def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
+                      mesh: Mesh, num_steps: int,
+                      quantize_forces: bool = False,
+                      steps_per_chunk: int = 0):
+    """Sharded leapfrog run: scan over ticks with the ring force inside.
+
+    Returns (final ParticleState (unsharded logical view), per-chunk total
+    energies). ``steps_per_chunk=0`` disables energy snapshots.
+    """
+    n_total, dim = state.positions.shape
+    n_shards = mesh.shape[AXIS]
+
+    pos = _pad_to_shards(state.positions, n_shards)
+    vel = _pad_to_shards(state.velocities, n_shards)
+    masses = _pad_to_shards(state.masses, n_shards)
+    gmass = cfg.G * masses
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+
+    pspec = P(AXIS)
+    half_dt = cfg.dt * 0.5
+
+    def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
+        def force(p):
+            return _ring_accelerations_local(p, gm_l, ids_l, n_total, q, cfg,
+                                             quantize_forces)
+
+        acc_l = force(pos_l)
+
+        def one_step(carry, _):
+            p, v, a = carry
+            v = v + a * half_dt
+            p = p + v * cfg.dt
+            a = force(p)
+            v = v + a * half_dt
+            return (p, v, a), None
+
+        def chunk(carry, _):
+            carry, _ = jax.lax.scan(one_step, carry, None,
+                                    length=max(steps_per_chunk, 1))
+            p, v, a = carry
+            # On-device sharded energy: KE via psum; PE via a ring pass is
+            # omitted here (KE tracks heating, the quantity the realtime
+            # monitors consume); full PE uses ring_potential_energy.
+            valid = (ids_l < n_total).astype(jnp.float32)
+            ke_l = 0.5 * jnp.sum(m_l * valid *
+                                 jnp.sum(v * v, axis=-1))
+            ke = jax.lax.psum(ke_l, AXIS)
+            return carry, ke
+
+        n_chunks = (max(num_steps // max(steps_per_chunk, 1), 1)
+                    if steps_per_chunk else 1)
+        if steps_per_chunk:
+            carry, kes = jax.lax.scan(chunk, (pos_l, vel_l, acc_l), None,
+                                      length=n_chunks)
+        else:
+            carry, _ = jax.lax.scan(one_step, (pos_l, vel_l, acc_l), None,
+                                    length=num_steps)
+            kes = jnp.zeros((1,), jnp.float32)
+        p, v, a = carry
+        return p, v, a, kes
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, P()),
+        check_vma=False,
+    )
+    pos_out, vel_out, acc_out, kes = fn(pos, vel, gmass, masses, ids)
+
+    def _trim(x):
+        # Replicate (cheap all-gather of N*D floats) before the tail slice:
+        # slicing a shard-misaligned boundary directly is ill-sharded. The
+        # mesh axes are Explicit-typed, so use reshard (a sharding
+        # constraint would be a no-op on an explicitly sharded value).
+        x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
+        return x[:n_total]
+
+    new_state = ParticleState(
+        positions=_trim(pos_out),
+        velocities=_trim(vel_out),
+        masses=_trim(masses),  # replicate: plain pass-through may pick up
+                               # a sharded layout from the mesh context
+        accelerations=_trim(acc_out),
+        tick=state.tick + num_steps,
+    )
+    return new_state, kes
+
+
+def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
+                       mesh: Mesh, quantize_forces: bool = False):
+    """One sharded force evaluation (library entry for tests/benchmarks)."""
+    n_total = positions.shape[0]
+    n_shards = mesh.shape[AXIS]
+    pos = _pad_to_shards(positions, n_shards)
+    gmass = cfg.G * _pad_to_shards(masses, n_shards)
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+
+    fn = shard_map(
+        functools.partial(_ring_accelerations_local, n_total=n_total, q=q,
+                          cfg=cfg, quantize_forces=quantize_forces),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    acc = fn(pos, gmass, ids)
+    acc = jax.sharding.reshard(acc, NamedSharding(mesh, P()))
+    return acc[:n_total]
