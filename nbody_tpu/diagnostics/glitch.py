@@ -1,0 +1,395 @@
+"""Glitch detection and physics-exploit probes.
+
+TPU-native re-design of the reference anomaly layer
+(reference: universe_2d.py:335-877, reality_glitch_tests.py:63-298).
+Split into:
+
+* fused **on-device metric bundles** (one jitted program each) — subnormal
+  census, Lorentz/fluid/frustum statistics — so the hot loop streams a few
+  scalars instead of pulling full state to host;
+* **host-side detectors** (`GlitchDetector`, `PhysicsExploitEngine`) that
+  consume those streams, apply thresholds, and log events — byte-for-byte
+  the reference's verdict logic, minus its per-check `.cpu()` transfers;
+* **zlib entropy probes** that necessarily run on host (Kolmogorov-proxy
+  compression), fed by periodic streamed snapshots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import zlib
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("nbody_tpu.glitch")
+
+FP32_MIN_NORMAL = 1.175494e-38  # smallest normal float32
+C_SIM_MPC_GYR = 306.6           # speed of light in Mpc/Gyr
+KT_EV = 0.0257                  # Boltzmann * 300K, in eV
+LANDAUER_LIMIT_EV = KT_EV * 0.693
+
+
+# --------------------------------------------------------------------------
+# On-device metric bundles
+# --------------------------------------------------------------------------
+
+class SubnormalMetrics(NamedTuple):
+    subnormal_count: jnp.ndarray   # int32
+    zero_count: jnp.ndarray        # int32
+    min_nonzero: jnp.ndarray       # f32
+
+
+@jax.jit
+def count_subnormals(x) -> SubnormalMetrics:
+    """Census of denormal float32 values (reference:
+    reality_glitch_tests.py:63-82): 0 < |x| < 1.175e-38."""
+    ax = jnp.abs(x.reshape(-1))
+    nonzero = ax > 0
+    sub = jnp.logical_and(nonzero, ax < FP32_MIN_NORMAL)
+    min_nonzero = jnp.min(jnp.where(nonzero, ax, jnp.inf))
+    return SubnormalMetrics(
+        subnormal_count=jnp.sum(sub).astype(jnp.int32),
+        zero_count=jnp.sum(~nonzero).astype(jnp.int32),
+        min_nonzero=min_nonzero,
+    )
+
+
+class ExploitDeviceMetrics(NamedTuple):
+    """Scalar bundle for all four exploit probes, computed in one program."""
+
+    max_gamma: jnp.ndarray        # Lorentz factor max
+    near_c_09: jnp.ndarray        # particles above 0.9c
+    near_c_099: jnp.ndarray
+    v_mean: jnp.ndarray
+    v_std: jnp.ndarray
+    in_frustum: jnp.ndarray       # count in observer's FOV
+    snap_events: jnp.ndarray      # frustum-entry jumps > threshold
+
+
+@jax.jit
+def exploit_device_metrics(positions, velocities, prev_positions,
+                           observer_pos, observer_dir,
+                           c_sim: float = C_SIM_MPC_GYR,
+                           fov_cos: float = 0.866,
+                           snap_threshold: float = 0.1) -> ExploitDeviceMetrics:
+    """Device half of the exploit probes
+    (reference: universe_2d.py:517-786, fused)."""
+    v_sq = jnp.sum(velocities * velocities, axis=-1)
+    beta_sq = jnp.clip(v_sq / (c_sim * c_sim), 0.0, 0.9999)
+    gamma = 1.0 / jnp.sqrt(1.0 - beta_sq)
+    beta = jnp.sqrt(beta_sq)
+
+    v_mag = jnp.sqrt(v_sq)
+
+    to_p = positions - observer_pos[None, :]
+    dist = jnp.linalg.norm(to_p, axis=1, keepdims=True)
+    dot = jnp.sum(to_p / (dist + 1e-10) * observer_dir[None, :], axis=1)
+    in_frustum = dot > fov_cos
+
+    pos_delta = jnp.sum(jnp.abs(positions - prev_positions), axis=1)
+    snapped = jnp.logical_and(in_frustum, pos_delta > snap_threshold)
+
+    return ExploitDeviceMetrics(
+        max_gamma=jnp.max(gamma),
+        near_c_09=jnp.sum(beta > 0.9).astype(jnp.int32),
+        near_c_099=jnp.sum(beta > 0.99).astype(jnp.int32),
+        v_mean=jnp.mean(v_mag),
+        v_std=jnp.std(velocities),
+        in_frustum=jnp.sum(in_frustum).astype(jnp.int32),
+        snap_events=jnp.sum(snapped).astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Host-side entropy / information probes (zlib = host by nature)
+# --------------------------------------------------------------------------
+
+class EntropyMetrics(NamedTuple):
+    raw_bytes: int
+    compressed_bytes: int
+    compression_ratio: float
+    bits_per_float: float
+
+
+def measure_state_entropy(positions, velocities,
+                          level: int = 6) -> EntropyMetrics:
+    """zlib compressibility of the state — the 'entropy horizon' probe
+    (reference: reality_glitch_tests.py:273-298)."""
+    pos = np.asarray(positions, dtype=np.float32)
+    vel = np.asarray(velocities, dtype=np.float32)
+    raw = pos.tobytes() + vel.tobytes()
+    comp = zlib.compress(raw, level)
+    n_floats = pos.size + vel.size
+    return EntropyMetrics(
+        raw_bytes=len(raw),
+        compressed_bytes=len(comp),
+        compression_ratio=len(raw) / max(len(comp), 1),
+        bits_per_float=len(comp) * 8.0 / max(n_floats, 1),
+    )
+
+
+def information_bits(positions, velocities, level: int = 9) -> int:
+    """Compressed size in bits — Landauer probe's Kolmogorov proxy
+    (reference: universe_2d.py:689-702)."""
+    raw = (np.asarray(positions, np.float32).tobytes()
+           + np.asarray(velocities, np.float32).tobytes())
+    return len(zlib.compress(raw, level)) * 8
+
+
+# --------------------------------------------------------------------------
+# Glitch detector (host state machine over streamed series)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GlitchEvent:
+    tick: int
+    redshift: float
+    glitch_type: str
+    magnitude: float
+    description: str
+
+
+class GlitchDetector:
+    """Threshold state machine over streamed diagnostics
+    (reference: universe_2d.py:335-466). Checks: sudden energy jumps,
+    momentum drift, subnormal flood, entropy spikes."""
+
+    def __init__(self, threshold: float = 0.1):
+        self.threshold = threshold
+        self.events: List[GlitchEvent] = []
+        self.energy_history: List[float] = []
+        self.momentum_history: List[Tuple[float, ...]] = []
+        self.subnormal_history: List[int] = []
+        self.entropy_history: List[float] = []
+
+    def _emit(self, tick, redshift, gtype, magnitude, desc) -> GlitchEvent:
+        event = GlitchEvent(tick, redshift, gtype, magnitude, desc)
+        self.events.append(event)
+        logger.warning("GLITCH DETECTED: %s at z=%.2f, tick=%d",
+                       desc, redshift, tick)
+        return event
+
+    def check_energy_conservation(self, energy: float, tick: int,
+                                  redshift: float) -> Optional[GlitchEvent]:
+        self.energy_history.append(energy)
+        if len(self.energy_history) < 3:
+            return None
+        prev, cur = self.energy_history[-2], self.energy_history[-1]
+        if prev != 0:
+            delta = abs(cur - prev) / abs(prev + 1e-10)
+            if delta > self.threshold:
+                return self._emit(tick, redshift, "energy_jump", delta,
+                                  f"Sudden energy change: {delta*100:.1f}%")
+        return None
+
+    def check_momentum(self, momentum, tick: int,
+                       redshift: float) -> Optional[GlitchEvent]:
+        self.momentum_history.append(tuple(momentum))
+        if len(self.momentum_history) < 2:
+            return None
+        total = math.sqrt(sum(p * p for p in momentum))
+        if total > self.threshold * 1000:
+            comps = ", ".join(f"{p:.2f}" for p in momentum)
+            return self._emit(tick, redshift, "momentum_drift", total,
+                              f"Net momentum: ({comps})")
+        return None
+
+    def check_subnormals(self, metrics: SubnormalMetrics, tick: int,
+                         redshift: float) -> Optional[GlitchEvent]:
+        count = int(metrics.subnormal_count)
+        self.subnormal_history.append(count)
+        if count > 0:
+            return self._emit(
+                tick, redshift, "subnormal_flood", float(count),
+                f"Denormal values detected: {count}, "
+                f"min={float(metrics.min_nonzero):.2e}")
+        return None
+
+    def check_entropy(self, compression_ratio: float, tick: int,
+                      redshift: float) -> Optional[GlitchEvent]:
+        self.entropy_history.append(compression_ratio)
+        if len(self.entropy_history) < 3:
+            return None
+        prev, cur = self.entropy_history[-2], self.entropy_history[-1]
+        if prev > 0:
+            delta = abs(cur - prev) / prev
+            if delta > 0.10:
+                return self._emit(
+                    tick, redshift, "entropy_spike", delta,
+                    f"Compression ratio changed: {prev:.2f} -> {cur:.2f} "
+                    f"({delta*100:.1f}%)")
+        return None
+
+    def get_glitch_count(self) -> int:
+        return len(self.events)
+
+    def get_glitch_summary(self) -> dict:
+        summary: dict = {}
+        for e in self.events:
+            summary[e.glitch_type] = summary.get(e.glitch_type, 0) + 1
+        return summary
+
+
+# --------------------------------------------------------------------------
+# Physics exploit engine (host orchestrator over the fused device bundle)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RelativityMetrics:
+    max_gamma: float = 1.0
+    near_c_particles: int = 0
+    power_at_09c: float = 0.0
+    power_at_099c: float = 0.0
+    bandwidth_limited: bool = False
+
+
+@dataclasses.dataclass
+class FluidMetrics:
+    reynolds_number: float = 0.0
+    viscosity_observed: float = 0.0
+    viscosity_expected: float = 0.0
+    viscosity_ratio: float = 1.0
+    turbulence_suppressed: bool = False
+
+
+@dataclasses.dataclass
+class LandauerMetrics:
+    total_bits_initial: int = 0
+    total_bits_current: int = 0
+    bits_erased: int = 0
+    energy_per_bit_erased: float = 0.0
+    garbage_collection_detected: bool = False
+
+
+@dataclasses.dataclass
+class FrustumMetrics:
+    in_frustum_count: int = 0
+    out_frustum_count: int = 0
+    in_frustum_precision: str = "FP32"
+    out_frustum_precision: str = "INT8"
+    snap_events: int = 0
+    culling_detected: bool = False
+
+
+class PhysicsExploitEngine:
+    """Runs the four 'seams of reality' probes
+    (reference: universe_2d.py:818-877). Device work is ONE fused program
+    per call; zlib and thresholds run on host."""
+
+    def __init__(self, fov_angle: float = 60.0, c_sim: float = C_SIM_MPC_GYR):
+        self.c_sim = c_sim
+        self.fov_cos = math.cos(math.radians(fov_angle / 2))
+        self.observer_pos = np.zeros(2, np.float32)
+        self.observer_dir = np.array([1.0, 0.0], np.float32)
+        self.prev_positions = None
+        self.initial_bits = 0
+        self.exploit_events: List[str] = []
+        self.history: dict = {"relativity": [], "fluid": [], "landauer": [],
+                              "frustum": []}
+        self.gamma_history: List[float] = []
+        self.power_vs_gamma: List[Tuple[float, float]] = []
+
+    def rotate_observer(self, angle_degrees: float):
+        a = math.radians(angle_degrees)
+        c, s = math.cos(a), math.sin(a)
+        x, y = self.observer_dir[:2]
+        self.observer_dir = self.observer_dir.copy()
+        self.observer_dir[0] = x * c - y * s
+        self.observer_dir[1] = x * s + y * c
+
+    def run_all_probes(self, positions, velocities, gpu_power: float = 0.0,
+                       energy_delta: float = 0.0) -> dict:
+        dim = int(positions.shape[1])
+        if self.observer_pos.shape[0] != dim:
+            self.observer_pos = np.zeros(dim, np.float32)
+            d = np.zeros(dim, np.float32)
+            d[0] = 1.0
+            self.observer_dir = d
+        prev = (self.prev_positions if self.prev_positions is not None
+                else positions)
+        dm = exploit_device_metrics(
+            positions, velocities, prev,
+            jnp.asarray(self.observer_pos), jnp.asarray(self.observer_dir),
+            self.c_sim, self.fov_cos)
+        dm = jax.device_get(dm)
+        self.prev_positions = positions
+        n = int(positions.shape[0])
+
+        max_gamma = float(dm.max_gamma)
+        rel = RelativityMetrics(
+            max_gamma=max_gamma,
+            near_c_particles=int(dm.near_c_09),
+            power_at_09c=gpu_power if int(dm.near_c_09) > 0 else 0.0,
+            power_at_099c=gpu_power if int(dm.near_c_099) > 0 else 0.0,
+            bandwidth_limited=(max_gamma > 10 and gpu_power > 100),
+        )
+        self.gamma_history.append(max_gamma)
+        if gpu_power > 0:
+            self.power_vs_gamma.append((max_gamma, gpu_power))
+
+        # Fluid: viscosity from velocity-gradient proxy
+        # (reference: universe_2d.py:625-661)
+        v_mean = float(dm.v_mean)
+        v_std = float(dm.v_std)
+        vel_gradient = v_std / max(v_mean, 1e-10)
+        visc_obs = 1.0 / max(vel_gradient, 1e-10) * 0.01
+        visc_exp = 0.01
+        re = 1.0 * v_mean * 10.0 / max(visc_obs, 1e-10)
+        ratio = visc_obs / visc_exp
+        fluid = FluidMetrics(
+            reynolds_number=re,
+            viscosity_observed=visc_obs,
+            viscosity_expected=visc_exp,
+            viscosity_ratio=ratio,
+            turbulence_suppressed=(ratio > 2.0 and re < 2300),
+        )
+
+        # Landauer: compression-proxy information content
+        current_bits = information_bits(positions, velocities)
+        if self.initial_bits == 0:
+            self.initial_bits = current_bits
+        bits_erased = max(0, self.initial_bits - current_bits)
+        min_energy = bits_erased * LANDAUER_LIMIT_EV
+        landauer = LandauerMetrics(
+            total_bits_initial=self.initial_bits,
+            total_bits_current=current_bits,
+            bits_erased=bits_erased,
+            energy_per_bit_erased=abs(energy_delta) / max(bits_erased, 1),
+            garbage_collection_detected=(bits_erased > 1000 and
+                                         abs(energy_delta) < min_energy * 0.1),
+        )
+
+        snap = int(dm.snap_events)
+        frustum = FrustumMetrics(
+            in_frustum_count=int(dm.in_frustum),
+            out_frustum_count=n - int(dm.in_frustum),
+            snap_events=snap,
+            culling_detected=snap > n * 0.01,
+        )
+        frustum.out_frustum_precision = ("INT8" if frustum.culling_detected
+                                         else "FP32")
+
+        results = {"relativity": rel, "fluid": fluid, "landauer": landauer,
+                   "frustum": frustum}
+        for k, v in results.items():
+            self.history[k].append(v)
+        if rel.bandwidth_limited:
+            self.exploit_events.append("BANDWIDTH_LIMIT")
+        if fluid.turbulence_suppressed:
+            self.exploit_events.append("VISCOSITY_CLIPPING")
+        if landauer.garbage_collection_detected:
+            self.exploit_events.append("GARBAGE_COLLECTION")
+        if frustum.culling_detected:
+            self.exploit_events.append("FRUSTUM_CULLING")
+        return results
+
+    def get_exploit_summary(self) -> dict:
+        summary: dict = {}
+        for e in self.exploit_events:
+            summary[e] = summary.get(e, 0) + 1
+        return summary

@@ -1,0 +1,218 @@
+"""Particle-mesh operators: deposit, FFT Poisson solve, gather, P(k).
+
+TPU-native replacement for the reference's PM pipelines, which deposit and
+interpolate with Python per-particle loops capped at 10-50k particles
+(reference: universe_2d.py:1027-1029, universe_genesis.py:362-364,
+realtime_reality_engine.py:262). Here deposit is a fused segment-sum
+scatter and gather is a vectorised take — both O(N) device ops with no
+host involvement, for any D in {2, 3}.
+
+The precision hook matches the reference: the Poisson solve divides by a
+*quantized* |k|^2 (reference: universe_2d.py:1050-1053), so the
+"broken math" of the precision ladder shapes large-scale structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops.precision import Quantizer, quantize_distance_squared
+
+
+def cell_index(positions, box_size: float, n_grid: int):
+    """Nearest-grid-point flat cell index per particle, periodic wrap."""
+    ij = jnp.floor(positions / box_size * n_grid).astype(jnp.int32) % n_grid
+    dim = positions.shape[1]
+    flat = ij[:, 0]
+    for d in range(1, dim):
+        flat = flat * n_grid + ij[:, d]
+    return flat, ij
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+def ngp_deposit(positions, weights, n_grid: int, box_size: float):
+    """Nearest-grid-point mass deposit via segment_sum (replaces the
+    reference's per-particle Python loop)."""
+    dim = positions.shape[1]
+    flat, _ = cell_index(positions, box_size, n_grid)
+    grid = jax.ops.segment_sum(weights, flat, num_segments=n_grid ** dim)
+    return grid.reshape((n_grid,) * dim)
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+def cic_deposit(positions, weights, n_grid: int, box_size: float):
+    """Cloud-in-cell deposit: each particle spreads to its 2^D neighbour
+    cells with trilinear weights (higher-order option the reference lacks;
+    reduces NGP shot noise)."""
+    dim = positions.shape[1]
+    u = positions / box_size * n_grid - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+
+    grid = jnp.zeros((n_grid ** dim,), weights.dtype)
+    for corner in range(2 ** dim):
+        offs = [(corner >> d) & 1 for d in range(dim)]
+        w = weights
+        flat = jnp.zeros(positions.shape[0], jnp.int32)
+        for d in range(dim):
+            o = offs[d]
+            idx = (i0[:, d] + o) % n_grid
+            w = w * jnp.where(o == 1, frac[:, d], 1.0 - frac[:, d])
+            flat = flat * n_grid + idx
+        grid = grid + jax.ops.segment_sum(w, flat,
+                                          num_segments=n_grid ** dim)
+    return grid.reshape((n_grid,) * dim)
+
+
+def _k_vectors(n_grid: int, box_size: float, dim: int):
+    """FFT wavevector component grids (2*pi * fftfreq), shape (n,)*dim."""
+    k1d = jnp.fft.fftfreq(n_grid, d=box_size / n_grid) * 2.0 * jnp.pi
+    ks = jnp.meshgrid(*([k1d] * dim), indexing="ij")
+    return ks
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size", "q",
+                                             "G", "dim"))
+def poisson_accel_grids(density, box_size: float, n_grid: int,
+                        q: Quantizer, G: float, scale: float | jnp.ndarray,
+                        dim: int = 2):
+    """Spectral Poisson solve with the quantized-|k|^2 precision hook.
+
+    density -> delta -> FFT -> phi_k = -4 pi G <rho> delta_k / k^2_q / a
+    -> spectral gradient -> D real-space acceleration grids.
+    (reference: universe_2d.py:1037-1062)
+    """
+    mean_rho = jnp.mean(density)
+    delta = (density - mean_rho) / (mean_rho + 1e-10)
+    delta_k = jnp.fft.fftn(delta)
+
+    ks = _k_vectors(n_grid, box_size, dim)
+    k_sq = sum(k * k for k in ks) + 1e-10
+
+    k_sq_q = quantize_distance_squared(k_sq.astype(jnp.float32), q)
+
+    phi_k = (-4.0 * jnp.pi * G * mean_rho) * delta_k / k_sq_q / scale
+    phi_k = phi_k.at[(0,) * dim].set(0.0)
+
+    accs = []
+    for d in range(dim):
+        a_k = -1j * ks[d] * phi_k
+        accs.append(jnp.real(jnp.fft.ifftn(a_k)))
+    return accs
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+def ngp_gather(grids, positions, n_grid: int, box_size: float):
+    """Sample D acceleration grids at particle cells -> (N, D)."""
+    flat, _ = cell_index(positions, box_size, n_grid)
+    cols = [jnp.take(g.reshape(-1), flat) for g in grids]
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+def cic_gather(grids, positions, n_grid: int, box_size: float):
+    """Trilinear interpolation of D grids at particle positions."""
+    dim = positions.shape[1]
+    u = positions / box_size * n_grid - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+
+    out = jnp.zeros((positions.shape[0], dim), jnp.float32)
+    for corner in range(2 ** dim):
+        offs = [(corner >> d) & 1 for d in range(dim)]
+        w = jnp.ones(positions.shape[0], jnp.float32)
+        flat = jnp.zeros(positions.shape[0], jnp.int32)
+        for d in range(dim):
+            o = offs[d]
+            idx = (i0[:, d] + o) % n_grid
+            w = w * jnp.where(o == 1, frac[:, d], 1.0 - frac[:, d])
+            flat = flat * n_grid + idx
+        vals = jnp.stack([jnp.take(g.reshape(-1), flat) for g in grids],
+                         axis=-1)
+        out = out + w[:, None] * vals
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size",
+                                             "num_bins"))
+def power_spectrum(positions, box_size: float, n_grid: int = 64,
+                   num_bins: int = 20):
+    """Radially-binned density power spectrum P(k).
+
+    Deposits unit weights (number density), FFTs the contrast, and bins
+    |delta_k|^2 on a log-spaced k grid via segment_sum
+    (reference: universe_2d.py:1221-1255 with the bin loop vectorised).
+    Returns (k_centers (num_bins-1,), P(k) (num_bins-1,)).
+    """
+    dim = positions.shape[1]
+    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
+                                              jnp.float32),
+                          n_grid, box_size)
+    mean = jnp.mean(density)
+    delta = (density - mean) / (mean + 1e-10)
+    pk_grid = jnp.abs(jnp.fft.fftn(delta)) ** 2
+
+    ks = _k_vectors(n_grid, box_size, dim)
+    k_mag = jnp.sqrt(sum(k * k for k in ks))
+
+    k_min = 2.0 * jnp.pi / box_size
+    k_max = jnp.pi * n_grid / box_size
+    edges = jnp.logspace(jnp.log10(k_min), jnp.log10(k_max), num_bins)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+
+    flat_k = k_mag.reshape(-1)
+    flat_p = pk_grid.reshape(-1)
+    # log-uniform bin index
+    log_kmin = jnp.log(k_min)
+    log_kmax = jnp.log(k_max)
+    idx = jnp.floor((jnp.log(jnp.maximum(flat_k, k_min * 0.5)) - log_kmin)
+                    / (log_kmax - log_kmin) * (num_bins - 1)).astype(jnp.int32)
+    in_range = (flat_k >= k_min) & (flat_k < k_max)
+    idx = jnp.clip(idx, 0, num_bins - 2)
+    w = in_range.astype(jnp.float32)
+    sums = jax.ops.segment_sum(flat_p * w, idx, num_segments=num_bins - 1)
+    counts = jax.ops.segment_sum(w, idx, num_segments=num_bins - 1)
+    pk = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
+    return centers, pk
+
+
+def bao_scale_from_pk(k, pk, k_lo: float = 0.01, k_hi: float = 0.2):
+    """BAO scale estimate: 2*pi / k_peak within the window
+    (reference: universe_2d.py:1257-1281). Host-side numpy helper."""
+    import numpy as np
+
+    k = np.asarray(k)
+    pk = np.asarray(pk)
+    valid = (k > k_lo) & (k < k_hi) & (pk > 0)
+    if valid.sum() <= 3:
+        return 0.0
+    k_valid = k[valid]
+    k_peak = k_valid[int(np.argmax(pk[valid]))]
+    return float(2.0 * np.pi / k_peak) if k_peak > 0 else 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+def clustering_metric(positions, box_size: float, n_grid: int = 32):
+    """Density-contrast std/mean on a coarse grid
+    (reference: universe_2d.py:1283-1293)."""
+    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
+                                              jnp.float32),
+                          n_grid, box_size)
+    return jnp.std(density) / (jnp.mean(density) + 1e-10)
+
+
+def dm_background_field(box_size: float, n_grid: int, dm_ratio: float,
+                        dim: int = 2):
+    """Smooth centered NFW-like dark-matter density field added to the
+    deposited grid (reference: universe_2d.py:298-318)."""
+    center = box_size / 2.0
+    axes = [jnp.linspace(0.0, box_size, n_grid)] * dim
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    r = jnp.sqrt(sum((m - center) ** 2 for m in mesh) + 1e-6)
+    r_s = box_size / 4.0
+    rho = 1.0 / (r / r_s * (1.0 + r / r_s) ** 2 + 0.1)
+    return rho * dm_ratio

@@ -1,0 +1,192 @@
+"""Tests for the PM operators and the unified cosmological engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.config import PLANCK18
+from nbody_tpu.engines import cosmo
+from nbody_tpu.engines.epochs import CosmicEpoch, get_current_epoch
+from nbody_tpu.ops import pm
+from nbody_tpu.ops.precision import Precision, Quantizer
+
+
+# --------------------------------------------------------------------------
+# PM operators
+# --------------------------------------------------------------------------
+
+def test_ngp_deposit_conserves_mass():
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (1000, 2)) * 100.0
+    w = jax.random.uniform(jax.random.PRNGKey(1), (1000,)) + 0.5
+    grid = pm.ngp_deposit(pos, w, n_grid=32, box_size=100.0)
+    np.testing.assert_allclose(float(grid.sum()), float(w.sum()), rtol=1e-5)
+
+
+def test_cic_deposit_conserves_mass_and_is_smoother():
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (2000, 2)) * 100.0
+    w = jnp.ones(2000)
+    ngp = pm.ngp_deposit(pos, w, n_grid=32, box_size=100.0)
+    cic = pm.cic_deposit(pos, w, n_grid=32, box_size=100.0)
+    np.testing.assert_allclose(float(cic.sum()), 2000.0, rtol=1e-4)
+    assert float(cic.std()) <= float(ngp.std())  # CIC reduces shot noise
+
+
+def test_ngp_deposit_matches_loop_oracle():
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (200, 2)) * 50.0
+    w = jnp.arange(1.0, 201.0)
+    grid = np.asarray(pm.ngp_deposit(pos, w, n_grid=16, box_size=50.0))
+    want = np.zeros((16, 16))
+    ij = np.floor(np.asarray(pos) / 50.0 * 16).astype(int) % 16
+    for (i, j), ww in zip(ij, np.asarray(w)):
+        want[i, j] += ww
+    np.testing.assert_allclose(grid, want, rtol=1e-5)
+
+
+def test_poisson_solver_point_mass_attracts():
+    """A point overdensity must produce accelerations pointing toward it."""
+    n_grid, box = 64, 100.0
+    density = jnp.ones((n_grid, n_grid))
+    density = density.at[32, 32].add(1000.0)
+    q = Quantizer(Precision.FLOAT32)
+    ax, ay = pm.poisson_accel_grids(density, box, n_grid, q, G=1.0,
+                                    scale=1.0, dim=2)
+    # Sample a point to the left of the mass: acceleration must point +x.
+    assert float(ax[20, 32]) > 0
+    assert float(ax[44, 32]) < 0
+    assert float(ay[32, 20]) > 0
+
+
+def test_gather_roundtrip():
+    n_grid, box = 16, 32.0
+    gx = jnp.arange(n_grid * n_grid, dtype=jnp.float32).reshape(n_grid, n_grid)
+    pos = jnp.array([[1.0, 3.0], [31.0, 31.0]])
+    out = pm.ngp_gather([gx], pos, n_grid, box)
+    flat, _ = pm.cell_index(pos, box, n_grid)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]),
+                                  np.asarray(gx.reshape(-1)[flat]))
+
+
+def test_quantized_k_sq_changes_forces():
+    """The int4 hook must actually alter the PM accelerations."""
+    n_grid, box = 32, 100.0
+    density = jax.random.uniform(jax.random.PRNGKey(3), (n_grid, n_grid)) + 1.0
+    a32 = pm.poisson_accel_grids(density, box, n_grid,
+                                 Quantizer(Precision.FLOAT32), 1.0, 1.0, 2)
+    a4 = pm.poisson_accel_grids(density, box, n_grid,
+                                Quantizer(Precision.INT4_SIM), 1.0, 1.0, 2)
+    diff = np.abs(np.asarray(a32[0]) - np.asarray(a4[0])).max()
+    assert diff > 0
+    assert np.isfinite(np.asarray(a4[0])).all()
+
+
+def test_power_spectrum_flat_vs_clustered():
+    """Clustered particles must show more large-scale power than uniform."""
+    key = jax.random.PRNGKey(4)
+    uniform = jax.random.uniform(key, (4096, 2)) * 100.0
+    clustered = (jax.random.normal(key, (4096, 2)) * 5.0 + 50.0) % 100.0
+    k_u, pk_u = pm.power_spectrum(uniform, 100.0, n_grid=64)
+    k_c, pk_c = pm.power_spectrum(clustered, 100.0, n_grid=64)
+    assert float(pk_c[:5].sum()) > float(pk_u[:5].sum())
+
+
+def test_bao_scale_from_pk():
+    k = np.linspace(0.02, 0.3, 50)
+    pk = np.exp(-((k - 0.043) / 0.01) ** 2)  # peak at k_bao
+    scale = pm.bao_scale_from_pk(k, pk)
+    assert 100 < scale < 200  # 2*pi/0.043 ~ 146 Mpc
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+def test_epoch_thresholds():
+    assert get_current_epoch(1100) == CosmicEpoch.RECOMBINATION
+    assert get_current_epoch(50) == CosmicEpoch.DARK_AGES
+    assert get_current_epoch(0.1) == CosmicEpoch.PRESENT
+
+
+def test_cosmic_time_reference_values():
+    """Anchor values from the reference table (universe_2d.py:186-216)."""
+    t0 = PLANCK18.cosmic_time_gyr(0.0)
+    assert 13.0 < t0 < 14.5
+    t1 = PLANCK18.cosmic_time_gyr(1.0)
+    assert 5.5 < t1 < 6.3
+    t20 = PLANCK18.cosmic_time_gyr(20.0)
+    assert 0.1 < t20 < 0.25
+
+
+@pytest.fixture(scope="module")
+def engine2d():
+    return cosmo.CosmologicalEngine(num_particles=1024, box_size_mpc=200.0,
+                                    start_redshift=50.0, precision="int4",
+                                    dim=2, n_grid=32, seed=42)
+
+
+def test_engine_ics(engine2d):
+    e = engine2d
+    assert e.num_particles == 1024
+    p = np.asarray(e.positions)
+    assert p.shape == (1024, 2)
+    assert (p >= 0).all() and (p < 200.0).all()
+    assert e.redshift == 50.0
+    assert e.current_epoch == CosmicEpoch.DARK_AGES
+
+
+def test_engine_evolves(engine2d):
+    e = engine2d
+    e.step(dz=1.0, num_steps=5)
+    assert e.tick == 5
+    assert abs(e.redshift - 45.0) < 1e-4
+    p = np.asarray(e.positions)
+    assert np.isfinite(p).all()
+    assert (p >= 0).all() and (p < 200.0).all()  # periodic wrap
+    assert len(e.history["energy"]) == 5
+    assert len(e.history["exploits"]) == 1
+
+
+def test_engine_completes():
+    e = cosmo.CosmologicalEngine(num_particles=256, start_redshift=5.0,
+                                 precision="float32", dim=2, n_grid=16)
+    e.run_to_completion(dz=1.0, chunk=10)
+    assert e.completed
+    assert e.redshift <= e.cfg.min_redshift + 1e-6
+    sd = e.get_state_dict()
+    assert sd["num_particles"] == 256
+    assert np.isfinite(sd["positions"]).all()
+
+
+def test_engine_3d():
+    e = cosmo.CosmologicalEngine(num_particles=512, start_redshift=10.0,
+                                 precision="int8", dim=3, n_grid=16)
+    assert e.positions.shape == (512, 3)
+    e.step(dz=1.0, num_steps=3)
+    assert np.isfinite(np.asarray(e.positions)).all()
+    k, pk = e.compute_power_spectrum(n_grid=16)
+    assert np.isfinite(pk).all()
+
+
+def test_engine_determinism():
+    kw = dict(num_particles=256, start_redshift=10.0, precision="int4",
+              dim=2, n_grid=16, seed=7)
+    a = cosmo.CosmologicalEngine(**kw)
+    b = cosmo.CosmologicalEngine(**kw)
+    a.step(1.0, 3)
+    b.step(1.0, 3)
+    np.testing.assert_array_equal(np.asarray(a.positions),
+                                  np.asarray(b.positions))
+
+
+def test_clustering_grows():
+    """Gravity must amplify structure: clustering metric grows with time."""
+    e = cosmo.CosmologicalEngine(num_particles=4096, start_redshift=30.0,
+                                 precision="float32", dim=2, n_grid=64,
+                                 dm_ratio=5.0)
+    c0 = e.get_clustering()
+    e.step(dz=1.0, num_steps=25)
+    c1 = e.get_clustering()
+    assert np.isfinite(c1)
+    assert c1 > c0 * 0.5  # structure should not wash out
