@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 
+import jax
 import jax.numpy as jnp
 
 
@@ -130,6 +131,46 @@ class Quantizer:
 
 
 # --------------------------------------------------------------------------
+# Float16 round-trip emulation
+# --------------------------------------------------------------------------
+
+def f16_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> f16 -> f32 value emulation via integer bit tricks.
+
+    The TPU Mosaic compiler cannot lower an in-kernel f32<->f16 pack
+    (tpu.pack_subelements), so the FLOAT16 precision mode emulates the
+    IEEE round-trip numerically: round-to-nearest-even of the mantissa to
+    10 bits (carry into the exponent handled by integer addition),
+    overflow above 65504 -> +/-inf, and |x| below the smallest normal
+    (2^-14) snapped onto the f16 subnormal grid (multiples of 2^-24).
+    Used for ALL execution paths (dense/tiled/Pallas) so every
+    implementation quantizes bit-identically; equivalence with
+    ``astype(f16).astype(f32)`` is unit-tested.
+    """
+    x = x.astype(jnp.float32)
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = xi & jnp.uint32(0x80000000)
+    mag = xi & jnp.uint32(0x7FFFFFFF)
+    absx = jax.lax.bitcast_convert_type(mag, jnp.float32)
+
+    # Normal range: RNE on the low 13 mantissa bits.
+    bias = ((mag >> 13) & jnp.uint32(1)) + jnp.uint32(0x0FFF)
+    rounded = (mag + bias) & jnp.uint32(0xFFFFE000)
+    normal = jax.lax.bitcast_convert_type(rounded | sign, jnp.float32)
+
+    # Subnormal range: snap onto multiples of 2^-24 (RNE via rint).
+    sub_step = jnp.float32(2.0 ** -24)
+    subnormal = jnp.round(x / sub_step) * sub_step
+
+    inf = jax.lax.bitcast_convert_type(sign | jnp.uint32(0x7F800000),
+                                       jnp.float32)
+
+    out = jnp.where(absx < jnp.float32(2.0 ** -14), subnormal, normal)
+    out = jnp.where(absx > jnp.float32(65504.0), inf, out)
+    return jnp.where(jnp.isnan(x), x, out)
+
+
+# --------------------------------------------------------------------------
 # Grid quantizers
 # --------------------------------------------------------------------------
 
@@ -190,7 +231,7 @@ def quantize_distance_squared(dist_sq: jnp.ndarray, q: Quantizer,
     if q.mode == Precision.BFLOAT16:
         return dist_sq.astype(jnp.bfloat16).astype(dist_sq.dtype)
     if q.mode == Precision.FLOAT16:
-        return dist_sq.astype(jnp.float16).astype(dist_sq.dtype)
+        return f16_roundtrip(dist_sq)
     if q.is_int:
         return grid_quantize_safe(dist_sq, q.levels, q.min_dist_sq,
                                   log_lo=log_lo, log_hi=log_hi)
@@ -207,7 +248,7 @@ def quantize_force(force: jnp.ndarray, q: Quantizer,
     if q.mode == Precision.BFLOAT16:
         return force.astype(jnp.bfloat16).astype(force.dtype)
     if q.mode == Precision.FLOAT16:
-        return force.astype(jnp.float16).astype(force.dtype)
+        return f16_roundtrip(force)
     if q.is_int:
         return grid_quantize(force, q.levels, lo=lo, hi=hi)
     return force

@@ -147,3 +147,21 @@ def test_dist_sq_log_bounds_analytic_min():
     lo, hi = P.dist_sq_log_bounds(q, jnp.asarray(400.0), softening_sq=0.01)
     np.testing.assert_allclose(float(lo), np.log(0.01), rtol=1e-4)
     np.testing.assert_allclose(float(hi), np.log(400.0), rtol=1e-4)
+
+
+def test_f16_roundtrip_emulation_matches_cast():
+    """Bit-trick f16 emulation must match astype(f16).astype(f32) across
+    normals, subnormals, overflow, and specials."""
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.uniform(-1e4, 1e4, 2000),
+        rng.uniform(-1.0, 1.0, 2000),
+        rng.uniform(-1e-5, 1e-5, 2000),        # subnormal territory
+        rng.uniform(-1e-8, 1e-8, 1000),
+        np.array([0.0, -0.0, 65504.0, 65520.0, 1e5, -1e5,
+                  2.0 ** -14, 2.0 ** -14 * 0.999, 2.0 ** -24, np.inf,
+                  -np.inf]),
+    ]).astype(np.float32)
+    want = vals.astype(np.float16).astype(np.float32)
+    got = np.asarray(P.f16_roundtrip(jnp.asarray(vals)))
+    np.testing.assert_array_equal(got, want)
