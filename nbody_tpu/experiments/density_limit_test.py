@@ -1,0 +1,140 @@
+"""Density/scaling limit test: wall time and energy cost vs particle count.
+
+TPU-native equivalent of the reference scaling study
+(reference: density_limit_test.py:43-544): star counts swept upward under a
+clean (float32) and an int4-quantized configuration, measuring per-tick
+wall time; a log-log power-law fit of time vs N flags anomalous scaling
+(exponent > 2 would mean super-quadratic cost — "reality slows down
+superlinearly with density").
+
+Telemetry note: the reference's per-star/per-interaction *power* figures
+come from NVML, which has no TPU analogue; this build substitutes the
+documented degraded mode (time-based observables only,
+SURVEY.md §7 'NVML-shaped features') and reports energy channels as null.
+
+Usage:
+    python -m nbody_tpu.experiments.density_limit_test --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from nbody_tpu.models.direct import DirectSimulation
+from nbody_tpu.models.galaxy import create_disk_galaxy
+from nbody_tpu.ops.precision import Precision
+from nbody_tpu.utils.profiler import DeviceProfiler
+
+DEFAULT_COUNTS = [100, 250, 500, 1000, 2000, 4000, 8000]
+
+
+def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
+    """(reference: density_limit_test.py:206-267)"""
+    counts = counts or DEFAULT_COUNTS
+    print(f"\n{'=' * 60}\nDENSITY LIMIT TEST\n{'=' * 60}")
+    print(f"counts: {counts}, ticks each: {ticks_per_size}")
+
+    results = []
+    for mode_name, precision in (("clean_float32", Precision.FLOAT32),
+                                 ("int4_broken", Precision.INT4_SIM)):
+        print(f"\n  --- {mode_name} ---")
+        for n in counts:
+            pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed),
+                                             num_stars=n)
+            sim = DirectSimulation(pos, vel, m, precision=precision)
+            sim.step(5)  # warm up / compile
+            jax.block_until_ready(sim.state.positions)
+
+            prof = DeviceProfiler(sample_interval_ms=50,
+                                  experiment_name=f"{mode_name}_N{n}")
+            prof.start()
+            t0 = time.perf_counter()
+            sim.step(ticks_per_size)
+            jax.block_until_ready(sim.state.positions)
+            wall = time.perf_counter() - t0
+            prof.stop()
+            analysis = prof.analyze()
+
+            ms_per_tick = wall / ticks_per_size * 1e3
+            crashed = not np.isfinite(np.asarray(sim.positions)).all()
+            results.append({
+                "mode": mode_name,
+                "num_stars": n,
+                "ms_per_tick": ms_per_tick,
+                "pairs_per_sec": n * n * ticks_per_size / wall,
+                "peak_memory_mb": analysis.peak_memory_mb,
+                "power_watts": None,           # NVML channel: unavailable
+                "power_per_star": None,        # degraded-mode placeholder
+                "crashed": bool(crashed),
+            })
+            print(f"    N={n:6d}: {ms_per_tick:8.3f} ms/tick "
+                  f"({n * n / (ms_per_tick / 1e3):.2e} pairs/s)"
+                  + ("  CRASHED" if crashed else ""))
+            if crashed:
+                break
+    return results
+
+
+def analyze_scaling(results) -> dict:
+    """Log-log power-law fit (reference: density_limit_test.py:270-316)."""
+    verdicts = {}
+    for mode in ("clean_float32", "int4_broken"):
+        rows = [r for r in results if r["mode"] == mode and not r["crashed"]]
+        if len(rows) < 3:
+            continue
+        n = np.array([r["num_stars"] for r in rows], float)
+        t = np.array([r["ms_per_tick"] for r in rows], float)
+        # fit only the asymptotic tail (fixed dispatch costs dominate small N)
+        tail = n >= np.median(n)
+        exponent = float(np.polyfit(np.log(n[tail]), np.log(t[tail]), 1)[0])
+        verdicts[mode] = {
+            "exponent": exponent,
+            "anomalous": exponent > 2.2,
+            "interpretation": (
+                "SUPER-QUADRATIC — density slows reality beyond O(N^2)"
+                if exponent > 2.2 else
+                f"scaling exponent {exponent:.2f} (<= 2: at or below the "
+                "theoretical O(N^2) pairwise cost)"),
+        }
+        print(f"  {mode}: time ~ N^{exponent:.2f} "
+              f"({verdicts[mode]['interpretation']})")
+    return verdicts
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Density/scaling limit test")
+    p.add_argument("--counts", type=str, default=None,
+                   help="comma-separated star counts")
+    p.add_argument("--ticks", type=int, default=100)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", type=str, default="output/density_limit")
+    args = p.parse_args(argv)
+
+    counts = ([int(c) for c in args.counts.split(",")] if args.counts
+              else DEFAULT_COUNTS)
+    if args.quick:
+        counts = [100, 250, 500, 1000, 2000]
+        args.ticks = 50
+
+    results = run_density_sweep(counts, args.ticks, args.seed)
+    print(f"\n{'=' * 60}\nSCALING ANALYSIS\n{'=' * 60}")
+    verdicts = analyze_scaling(results)
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "density_limit_report.json").write_text(json.dumps({
+        "results": results, "scaling": verdicts,
+        "telemetry_note": "power channels unavailable on TPU (no NVML); "
+                          "degraded mode uses wall-clock observables only",
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,402 @@
+"""Realtime reality engine: concurrent live simulation + monitors.
+
+TPU-native equivalent of the reference's only concurrent runtime
+(reference: realtime_reality_engine.py:60-904). Architecture mapping:
+
+* ``CosmicWebEngine`` thread — the physics producer. The reference steps a
+  64^3 PM solver with Python deposit loops capped at 10k particles at a
+  target 30 FPS (reference: :187-345); here the producer runs fused
+  multi-step device scans (uncapped N) and publishes a periodic
+  device-to-host snapshot into the lock-protected ``SharedState``
+  double buffer.
+* ``BAOSolver`` thread — 10 Hz power-spectrum peak -> BAO scale from the
+  latest host snapshot; >50% deviation from 147 Mpc flags a glitch
+  (reference: :352-428).
+* ``RSIMonitor`` thread — 20 Hz Reality Stability Index: weighted
+  energy-stability / sync / BAO / hardware score, weights .3/.3/.2/.2
+  (reference: :435-514). The hardware term uses step-time jitter instead
+  of the GPU throttle flag (no NVML on TPU).
+* ``GlobalClock`` — per-subsystem update stamps; >100 ms skew counts a
+  desync violation (reference: :165-180).
+
+Run headless (prints + JSON report) or with a matplotlib dashboard that
+saves periodic frames.
+
+Usage:
+    python -m nbody_tpu.realtime.engine --particles 100000 --seconds 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+BAO_REFERENCE_MPC = 147.0
+GLITCH_THRESHOLD = 0.05          # 5% energy jump (reference: :105)
+DESYNC_LIMIT_S = 0.1             # 100 ms (reference: :165-180)
+RSI_WEIGHTS = {"energy": 0.3, "sync": 0.3, "bao": 0.2, "hardware": 0.2}
+
+
+@dataclass
+class LiveMetrics:
+    tick: int = 0
+    redshift: float = 0.0
+    kinetic_energy: float = 0.0
+    bao_scale: float = 0.0
+    clustering: float = 0.0
+    rsi: float = 100.0
+    fps: float = 0.0
+    step_ms_p50: float = 0.0
+    step_jitter_cv: float = 0.0
+    glitch_count: int = 0
+    desync_count: int = 0
+
+
+class GlobalClock:
+    """Per-subsystem heartbeat stamps + desync detection
+    (reference: realtime_reality_engine.py:140-180)."""
+
+    def __init__(self):
+        self._stamps: Dict[str, float] = {}
+        self._lock = threading.Lock()
+        self.desync_count = 0
+
+    def beat(self, subsystem: str):
+        with self._lock:
+            self._stamps[subsystem] = time.monotonic()
+
+    def check_sync_violation(self) -> bool:
+        with self._lock:
+            if len(self._stamps) < 2:
+                return False
+            now = time.monotonic()
+            skews = [now - t for t in self._stamps.values()]
+            if max(skews) - min(skews) > DESYNC_LIMIT_S:
+                self.desync_count += 1
+                return True
+            return False
+
+
+class SharedState:
+    """Lock-protected hub between producer and monitor threads
+    (reference: realtime_reality_engine.py:122-180)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.running = True
+        self.positions: Optional[np.ndarray] = None
+        self.velocities: Optional[np.ndarray] = None
+        self.metrics = LiveMetrics()
+        self.clock = GlobalClock()
+        self.events: List[dict] = []
+        self.energy_history: List[float] = []
+        self.step_times_ms: List[float] = []
+
+    def publish_snapshot(self, positions, velocities, tick, redshift, ke):
+        with self.lock:
+            self.positions = positions
+            self.velocities = velocities
+            self.metrics.tick = tick
+            self.metrics.redshift = redshift
+            self.metrics.kinetic_energy = ke
+            self.energy_history.append(ke)
+            if len(self.energy_history) >= 2:
+                prev = self.energy_history[-2]
+                if prev and abs(ke - prev) / abs(prev) > GLITCH_THRESHOLD:
+                    self.metrics.glitch_count += 1
+                    self.events.append({
+                        "type": "energy_glitch", "tick": tick,
+                        "delta": (ke - prev) / prev})
+
+    def latest_positions(self):
+        with self.lock:
+            return self.positions
+
+
+class CosmicWebEngine:
+    """Physics producer (reference: realtime_reality_engine.py:187-345).
+
+    PLATFORM NOTE: the reference runs its physics in a daemon thread; on
+    this TPU environment device execution must stay on the main thread
+    (worker-thread dispatch deadlocks in the PJRT tunnel), so the producer
+    exposes a main-thread ``pump()`` and the *monitors* (pure host numpy)
+    run as threads instead — same concurrency contract, inverted roles."""
+
+    def __init__(self, state: SharedState, num_particles: int,
+                 precision: str, seed: int, target_fps: float = 30.0,
+                 steps_per_frame: int = 2):
+        self.state = state
+        self.num_particles = num_particles
+        self.precision = precision
+        self.seed = seed
+        self.target_dt = 1.0 / target_fps
+        self.steps_per_frame = steps_per_frame
+        self.engine = None
+
+    def _new_engine(self):
+        from nbody_tpu.engines.cosmo import CosmologicalEngine
+
+        return CosmologicalEngine(
+            num_particles=self.num_particles, start_redshift=50.0,
+            precision=self.precision, dim=2, n_grid=64,
+            min_redshift=0.001)
+
+    def start(self):
+        self.engine = self._new_engine()
+        self.state.publish_snapshot(
+            np.asarray(self.engine.positions),
+            np.asarray(self.engine.velocities),
+            self.engine.tick, self.engine.redshift,
+            self.engine.get_kinetic_energy())
+
+    def pump(self):
+        """One producer iteration (call from the main loop)."""
+        import jax
+
+        engine = self.engine
+        t0 = time.perf_counter()
+        if engine.completed:
+            engine = self.engine = self._new_engine()
+        dz = 0.05
+        engine.step(dz, num_steps=self.steps_per_frame)
+        jax.block_until_ready(engine.state.positions)
+        step_ms = (time.perf_counter() - t0) * 1e3
+        with self.state.lock:
+            self.state.step_times_ms.append(step_ms)
+            if len(self.state.step_times_ms) > 300:
+                del self.state.step_times_ms[:100]
+        self.state.publish_snapshot(
+            np.asarray(engine.positions), np.asarray(engine.velocities),
+            engine.tick, engine.redshift,
+            engine.history["energy"][-1] if engine.history["energy"]
+            else 0.0)
+        self.state.clock.beat("cosmic_web")
+        sleep = self.target_dt - (time.perf_counter() - t0)
+        if sleep > 0:
+            time.sleep(sleep)
+
+
+class BAOSolver(threading.Thread):
+    """10 Hz BAO-scale monitor (reference: realtime_reality_engine.py:352-428)."""
+
+    def __init__(self, state: SharedState, box_size: float = 200.0):
+        super().__init__(daemon=True, name="bao-solver")
+        self.state = state
+        self.box_size = box_size
+
+    def run(self):
+        while self.state.running:
+            pos = self.state.latest_positions()
+            if pos is not None and len(pos) > 0:
+                bao = self._bao_scale(pos)
+                with self.state.lock:
+                    self.state.metrics.bao_scale = bao
+                    if bao > 0:
+                        dev = abs(bao - BAO_REFERENCE_MPC) / BAO_REFERENCE_MPC
+                        if dev > 0.5:
+                            self.state.metrics.glitch_count += 1
+                            self.state.events.append({
+                                "type": "bao_glitch",
+                                "bao_scale": bao, "deviation": dev})
+                self.state.clock.beat("bao")
+            time.sleep(0.1)
+
+    def _bao_scale(self, pos: np.ndarray) -> float:
+        """Host-side numpy P(k) peak (reference: :398-428)."""
+        n_grid = 64
+        H, _, _ = np.histogram2d(pos[:, 0], pos[:, 1], bins=n_grid,
+                                 range=[[0, self.box_size]] * 2)
+        delta = (H - H.mean()) / (H.mean() + 1e-10)
+        pk = np.abs(np.fft.fft2(delta)) ** 2
+        k1 = np.fft.fftfreq(n_grid, d=self.box_size / n_grid) * 2 * np.pi
+        kx, ky = np.meshgrid(k1, k1, indexing="ij")
+        kmag = np.sqrt(kx ** 2 + ky ** 2)
+        mask = (kmag > 0.01) & (kmag < 0.2)
+        if mask.sum() < 4:
+            return 0.0
+        k_peak = kmag[mask][np.argmax(pk[mask])]
+        return float(2 * np.pi / k_peak) if k_peak > 0 else 0.0
+
+
+class RSIMonitor(threading.Thread):
+    """20 Hz Reality Stability Index
+    (reference: realtime_reality_engine.py:435-514)."""
+
+    def __init__(self, state: SharedState):
+        super().__init__(daemon=True, name="rsi-monitor")
+        self.state = state
+
+    def run(self):
+        while self.state.running:
+            self.state.clock.check_sync_violation()
+            with self.state.lock:
+                m = self.state.metrics
+                # energy stability: recent relative changes
+                eh = self.state.energy_history[-10:]
+                if len(eh) >= 2 and abs(eh[-2]) > 0:
+                    deltas = [abs(eh[i + 1] - eh[i]) / abs(eh[i] + 1e-12)
+                              for i in range(len(eh) - 1)]
+                    energy_score = max(0.0, 1.0 - 10.0 * max(deltas))
+                else:
+                    energy_score = 1.0
+                sync_score = max(0.0, 1.0 - 0.1 *
+                                 self.state.clock.desync_count)
+                if m.bao_scale > 0:
+                    bao_score = max(0.0, 1.0 - abs(m.bao_scale -
+                                                   BAO_REFERENCE_MPC)
+                                    / BAO_REFERENCE_MPC)
+                else:
+                    bao_score = 0.5
+                st = self.state.step_times_ms[-50:]
+                if len(st) >= 5:
+                    cv = float(np.std(st) / (np.mean(st) + 1e-9))
+                    hw_score = max(0.0, 1.0 - cv)
+                    m.step_ms_p50 = float(np.median(st))
+                    m.step_jitter_cv = cv
+                    m.fps = 1000.0 / max(np.mean(st), 1e-9)
+                else:
+                    hw_score = 1.0
+                m.rsi = 100.0 * (RSI_WEIGHTS["energy"] * energy_score
+                                 + RSI_WEIGHTS["sync"] * sync_score
+                                 + RSI_WEIGHTS["bao"] * bao_score
+                                 + RSI_WEIGHTS["hardware"] * hw_score)
+                m.desync_count = self.state.clock.desync_count
+            self.state.clock.beat("rsi")
+            time.sleep(0.05)
+
+
+class RealtimeDashboard:
+    """Frame renderer (reference: realtime_reality_engine.py:521-759);
+    headless mode saves PNG frames at an interval."""
+
+    def __init__(self, state: SharedState, out_dir: str):
+        self.state = state
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.frame_idx = 0
+
+    def render(self):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        with self.state.lock:
+            pos = (None if self.state.positions is None
+                   else self.state.positions.copy())
+            m = LiveMetrics(**vars(self.state.metrics))
+            energy = list(self.state.energy_history[-200:])
+        if pos is None:
+            return None
+        fig, axes = plt.subplots(1, 3, figsize=(16, 5),
+                                 facecolor="#0b0b16")
+        axes[0].scatter(pos[:, 0], pos[:, 1], s=0.4, c="white", alpha=0.5)
+        axes[0].set_facecolor("black")
+        axes[0].set_title(f"tick {m.tick}  z={m.redshift:.2f}",
+                          color="white")
+        axes[1].plot(energy, color="#f39c12")
+        axes[1].set_title(f"KE (glitches {m.glitch_count})", color="white")
+        axes[1].set_facecolor("#101020")
+        axes[2].bar(["RSI"], [m.rsi],
+                    color="#2ecc71" if m.rsi > 70 else "#e74c3c")
+        axes[2].set_ylim(0, 100)
+        axes[2].set_title(f"RSI {m.rsi:.1f}  BAO {m.bao_scale:.0f} Mpc  "
+                          f"{m.fps:.0f} fps", color="white")
+        axes[2].set_facecolor("#101020")
+        for ax in axes:
+            ax.tick_params(colors="white")
+        fig.tight_layout()
+        path = self.out_dir / f"rt_frame_{self.frame_idx:04d}.png"
+        fig.savefig(path, dpi=100, facecolor="#0b0b16")
+        plt.close(fig)
+        self.frame_idx += 1
+        return path
+
+
+def run_realtime_engine(num_particles: int = 10000,
+                        precision: str = "float32", seconds: float = 20.0,
+                        seed: int = 42, headless: bool = True,
+                        out_dir: str = "output/realtime",
+                        frame_interval_s: float = 5.0) -> dict:
+    """(reference: realtime_reality_engine.py:766-880)"""
+    state = SharedState()
+    producer = CosmicWebEngine(state, num_particles, precision, seed)
+    producer.start()  # main-thread engine construction + first snapshot
+    monitors = [BAOSolver(state), RSIMonitor(state)]
+    for t in monitors:
+        t.start()
+    dash = RealtimeDashboard(state, out_dir)
+
+    t_end = time.monotonic() + seconds
+    next_frame = time.monotonic() + frame_interval_s
+    next_status = time.monotonic() + 1.0
+    try:
+        while time.monotonic() < t_end:
+            producer.pump()  # device work stays on the main thread
+            now = time.monotonic()
+            if now >= next_status:
+                with state.lock:
+                    m = state.metrics
+                    print(f"  t={seconds - (t_end - now):5.1f}s "
+                          f"tick={m.tick:5d} z={m.redshift:6.2f} "
+                          f"RSI={m.rsi:5.1f} fps={m.fps:5.1f} "
+                          f"glitches={m.glitch_count} "
+                          f"desync={m.desync_count}", flush=True)
+                next_status = now + 1.0
+            if now >= next_frame:
+                dash.render()
+                next_frame += frame_interval_s
+    finally:
+        state.running = False
+        for t in monitors:
+            t.join(timeout=3.0)
+
+    dash.render()
+    with state.lock:
+        m = state.metrics
+        report = {
+            "num_particles": num_particles,
+            "precision": precision,
+            "duration_s": seconds,
+            "final_tick": m.tick,
+            "final_redshift": m.redshift,
+            "final_rsi": m.rsi,
+            "mean_fps": m.fps,
+            "step_ms_p50": m.step_ms_p50,
+            "step_jitter_cv": m.step_jitter_cv,
+            "bao_scale_mpc": m.bao_scale,
+            "glitch_count": m.glitch_count,
+            "desync_count": m.desync_count,
+            "events": state.events[-50:],
+        }
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "realtime_report.json").write_text(
+        json.dumps(report, indent=2, default=str))
+    print("\nFINAL REPORT:")
+    print(json.dumps({k: v for k, v in report.items() if k != "events"},
+                     indent=2, default=str))
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Realtime reality engine (TPU)")
+    p.add_argument("--particles", type=int, default=10000)
+    p.add_argument("--precision", type=str, default="float32")
+    p.add_argument("--seconds", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--output", type=str, default="output/realtime")
+    args = p.parse_args(argv)
+    run_realtime_engine(args.particles, args.precision, args.seconds,
+                        args.seed, args.headless, args.output)
+
+
+if __name__ == "__main__":
+    main()
