@@ -1,0 +1,375 @@
+"""Orbital audit: real-satellite dynamics vs precision-degraded physics.
+
+TPU-native equivalent of the reference audit
+(reference: orbital_audit.py:75-1156). Environment mapping:
+
+* the reference fetches TLEs from CelesTrak with a cached ISS fallback
+  (reference: :89-111, :337-340); this environment has zero egress, so the
+  cached-fixture path IS the path — TLE fixtures below;
+* the reference wraps the ``sgp4`` library (not installed here); the
+  reference ephemeris is a Keplerian + J2-secular mean-element propagator
+  (the dominant terms SGP4 models for these orbits), documented as the
+  stand-in oracle;
+* the device simulator is an RK4 two-body + J2 integrator under
+  ``lax.scan`` with the precision ladder applied to r^2 (the same
+  "broken math" hook as the galaxy engine) and underflow/overflow event
+  logging (reference: :185-301).
+
+Sections: TLE-vs-device drift per precision mode; Lense-Thirring /
+lattice-torsion precession vs Gravity Probe B (37.2 +/- 7.2 mas/yr,
+reference: :465-609); eccentric-orbit telemetry glitch correlation
+(reference: :626-795); geocentric-vs-heliocentric FLOP cost
+(reference: :813-962); combined score.
+
+Usage:
+    python -m nbody_tpu.experiments.orbital_audit --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.ops.precision import Precision, Quantizer, f16_roundtrip
+
+MU_EARTH = 398600.4418        # km^3/s^2
+R_EARTH = 6378.137            # km
+J2_EARTH = 1.08262668e-3
+GPB_FRAME_DRAG_MAS_YR = 37.2  # Gravity Probe B measured (reference: :471)
+GPB_ERROR_MAS_YR = 7.2
+
+# Cached TLE fixtures (reference fallback pattern, orbital_audit.py:337-340)
+TLE_FIXTURES = {
+    "ISS": ("1 25544U 98067A   24001.50000000  .00016717  00000-0  "
+            "10270-3 0  9000",
+            "2 25544  51.6400 208.9163 0006317  69.9862 290.2000 "
+            "15.49550000430000"),
+    "LAGEOS-1": ("1 08820U 76039A   24001.50000000 -.00000010  00000-0  "
+                 "00000+0 0  9990",
+                 "2 08820 109.8500 200.0000 0044000 260.0000 100.0000 "
+                 "06.38664800000000"),
+    "GPS-IIR-2": ("1 24876U 97035A   24001.50000000  .00000020  00000-0  "
+                  "00000+0 0  9990",
+                  "2 24876  55.0000 150.0000 0080000 200.0000 160.0000 "
+                  "02.00561900000000"),
+}
+
+
+def parse_tle(line1: str, line2: str) -> dict:
+    """Extract mean elements from a TLE pair (subset needed here)."""
+    inc = float(line2[8:16])
+    raan = float(line2[17:25])
+    ecc = float("0." + line2[26:33].strip())
+    argp = float(line2[34:42])
+    mean_anom = float(line2[43:51])
+    mean_motion = float(line2[52:63])  # rev/day
+    n_rad_s = mean_motion * 2 * math.pi / 86400.0
+    a = (MU_EARTH / n_rad_s ** 2) ** (1.0 / 3.0)
+    return {"inclination_deg": inc, "raan_deg": raan, "eccentricity": ecc,
+            "argp_deg": argp, "mean_anomaly_deg": mean_anom,
+            "mean_motion_rev_day": mean_motion, "semi_major_axis_km": a}
+
+
+def elements_to_state(el: dict):
+    """Mean elements -> osculating position/velocity (km, km/s)."""
+    a, e = el["semi_major_axis_km"], el["eccentricity"]
+    i = math.radians(el["inclination_deg"])
+    raan = math.radians(el["raan_deg"])
+    argp = math.radians(el["argp_deg"])
+    M = math.radians(el["mean_anomaly_deg"])
+    # solve Kepler's equation
+    E = M
+    for _ in range(20):
+        E = E - (E - e * math.sin(E) - M) / (1 - e * math.cos(E))
+    nu = 2 * math.atan2(math.sqrt(1 + e) * math.sin(E / 2),
+                        math.sqrt(1 - e) * math.cos(E / 2))
+    r = a * (1 - e * math.cos(E))
+    p = a * (1 - e * e)
+    # perifocal
+    rp = np.array([r * math.cos(nu), r * math.sin(nu), 0.0])
+    vp = np.array([-math.sin(nu), e + math.cos(nu), 0.0]) * math.sqrt(
+        MU_EARTH / p)
+    # rotation to ECI
+    cR, sR = math.cos(raan), math.sin(raan)
+    cI, sI = math.cos(i), math.sin(i)
+    cw, sw = math.cos(argp), math.sin(argp)
+    R = np.array([
+        [cR * cw - sR * sw * cI, -cR * sw - sR * cw * cI, sR * sI],
+        [sR * cw + cR * sw * cI, -sR * sw + cR * cw * cI, -cR * sI],
+        [sw * sI, cw * sI, cI],
+    ])
+    return R @ rp, R @ vp
+
+
+def kepler_j2_reference(el: dict, duration_s: float, num_samples: int):
+    """Host reference ephemeris: Keplerian motion + J2 secular drift of
+    RAAN/argp (the SGP4 stand-in; dominant terms for LEO/MEO)."""
+    a, e = el["semi_major_axis_km"], el["eccentricity"]
+    i = math.radians(el["inclination_deg"])
+    n = math.sqrt(MU_EARTH / a ** 3)
+    p = a * (1 - e * e)
+    fac = 1.5 * J2_EARTH * (R_EARTH / p) ** 2 * n
+    raan_dot = -fac * math.cos(i)
+    argp_dot = fac * (2 - 2.5 * math.sin(i) ** 2)
+    out = []
+    for k in range(num_samples):
+        t = duration_s * k / max(num_samples - 1, 1)
+        el_t = dict(el)
+        el_t["mean_anomaly_deg"] = (el["mean_anomaly_deg"]
+                                    + math.degrees(n * t)) % 360.0
+        el_t["raan_deg"] = el["raan_deg"] + math.degrees(raan_dot * t)
+        el_t["argp_deg"] = el["argp_deg"] + math.degrees(argp_dot * t)
+        pos, _ = elements_to_state(el_t)
+        out.append(pos)
+    return np.asarray(out)
+
+
+# --------------------------------------------------------------------------
+# Device RK4 + J2 propagator with the precision ladder
+# --------------------------------------------------------------------------
+
+def _accel(pos, q: Quantizer):
+    """Two-body + J2 acceleration with the precision hook on r^2."""
+    r_sq = jnp.sum(pos * pos)
+    if q.mode == Precision.BFLOAT16:
+        r_sq = r_sq.astype(jnp.bfloat16).astype(jnp.float32)
+    elif q.mode == Precision.FLOAT16:
+        r_sq = f16_roundtrip(r_sq)
+    elif q.is_int:
+        # single-value log-grid snap around Earth-orbit scales
+        from nbody_tpu.ops.precision import grid_quantize_safe
+        r_sq = grid_quantize_safe(r_sq[None], q.levels, min_val=R_EARTH ** 2,
+                                  log_lo=jnp.log(jnp.float32(R_EARTH ** 2)),
+                                  log_hi=jnp.log(jnp.float32((20 * R_EARTH) ** 2))
+                                  )[0]
+    r = jnp.sqrt(r_sq)
+    a_kepler = -MU_EARTH / (r ** 3) * pos
+    x, y, z = pos
+    j2f = 1.5 * J2_EARTH * MU_EARTH * R_EARTH ** 2 / r ** 5
+    a_j2 = jnp.stack([
+        j2f * x * (5 * z * z / r_sq - 1),
+        j2f * y * (5 * z * z / r_sq - 1),
+        j2f * z * (5 * z * z / r_sq - 3),
+    ])
+    return a_kepler + a_j2
+
+
+@functools.partial(jax.jit, static_argnames=("q", "num_steps", "sample_every"))
+def propagate_rk4(pos0, vel0, dt: float, q: Quantizer, num_steps: int,
+                  sample_every: int):
+    """RK4 under lax.scan with underflow/overflow counting
+    (reference: orbital_audit.py:185-301)."""
+
+    def deriv(state):
+        p, v = state
+        return v, _accel(p, q)
+
+    def step(carry, _):
+        p, v, under, over = carry
+        k1p, k1v = deriv((p, v))
+        k2p, k2v = deriv((p + 0.5 * dt * k1p, v + 0.5 * dt * k1v))
+        k3p, k3v = deriv((p + 0.5 * dt * k2p, v + 0.5 * dt * k2v))
+        k4p, k4v = deriv((p + dt * k3p, v + dt * k3v))
+        p = p + dt / 6.0 * (k1p + 2 * k2p + 2 * k3p + k4p)
+        v = v + dt / 6.0 * (k1v + 2 * k2v + 2 * k3v + k4v)
+        r = jnp.linalg.norm(p)
+        under = under + jnp.int32(r < 1e-10)
+        over = over + jnp.int32(~jnp.isfinite(r))
+        return (p, v, under, over), None
+
+    def chunk(carry, _):
+        carry, _ = jax.lax.scan(step, carry, None, length=sample_every)
+        return carry, carry[0]
+
+    n_chunks = num_steps // sample_every
+    carry, samples = jax.lax.scan(
+        chunk, (pos0, vel0, jnp.int32(0), jnp.int32(0)), None,
+        length=n_chunks)
+    return samples, carry[2], carry[3]
+
+
+# --------------------------------------------------------------------------
+# Audit sections
+# --------------------------------------------------------------------------
+
+def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0) -> dict:
+    """Device RK4 vs reference ephemeris per satellite and precision
+    (reference: orbital_audit.py:321-448)."""
+    print("\n--- AUDIT 1: TLE vs DEVICE-PROPAGATION DRIFT ---")
+    duration_s = duration_hours * 3600.0
+    results = {}
+    for name, (l1, l2) in TLE_FIXTURES.items():
+        el = parse_tle(l1, l2)
+        pos0, vel0 = elements_to_state(el)
+        num_steps = int(duration_s / dt)
+        sample_every = max(num_steps // 50, 1)
+        ref = kepler_j2_reference(el, duration_s,
+                                  num_steps // sample_every)
+        row = {"elements": el}
+        for mode in (Precision.FLOAT32, Precision.FLOAT16,
+                     Precision.INT4_SIM):
+            q = Quantizer(mode)
+            samples, under, over = propagate_rk4(
+                jnp.asarray(pos0, jnp.float32),
+                jnp.asarray(vel0, jnp.float32), dt, q,
+                num_steps // sample_every * sample_every, sample_every)
+            sim = np.asarray(samples)
+            k = min(len(sim), len(ref))
+            drift = np.linalg.norm(sim[:k] - ref[:k], axis=1)
+            row[mode.value] = {
+                "final_drift_km": float(drift[-1]),
+                "max_drift_km": float(drift.max()),
+                "underflows": int(under),
+                "overflows": int(over),
+            }
+            print(f"  {name:10s} {mode.value:9s}: final drift "
+                  f"{drift[-1]:10.2f} km over {duration_hours:.0f}h")
+        # int4 signature: drift ratio vs float32
+        f32 = row["float32"]["final_drift_km"]
+        row["int4_signature"] = (row["int4_sim"]["final_drift_km"]
+                                 / max(f32, 1e-9))
+        results[name] = row
+    return results
+
+
+def lense_thirring_audit(num_years: float = 1.0) -> dict:
+    """Lattice-torsion precession vs Gravity Probe B
+    (reference: orbital_audit.py:465-609): measure the spurious nodal
+    precession the int4 lattice induces on a polar orbit and compare with
+    the real frame-dragging rate."""
+    print("\n--- AUDIT 2: LENSE-THIRRING / LATTICE TORSION ---")
+    el = {"inclination_deg": 90.0, "raan_deg": 0.0, "eccentricity": 0.001,
+          "argp_deg": 0.0, "mean_anomaly_deg": 0.0,
+          "mean_motion_rev_day": 14.0,
+          "semi_major_axis_km": (MU_EARTH / (14.0 * 2 * math.pi / 86400.0)
+                                 ** 2) ** (1 / 3)}
+    pos0, vel0 = elements_to_state(el)
+    dt, hours = 10.0, 12.0
+    num_steps = int(hours * 3600 / dt)
+    sample_every = max(num_steps // 100, 1)
+    rates = {}
+    for mode in (Precision.FLOAT32, Precision.INT4_SIM):
+        samples, _, _ = propagate_rk4(
+            jnp.asarray(pos0, jnp.float32), jnp.asarray(vel0, jnp.float32),
+            dt, Quantizer(mode), num_steps // sample_every * sample_every,
+            sample_every)
+        s = np.asarray(samples)
+        # node line: cross product of successive orbit normals
+        h = np.cross(s[:-1], np.diff(s, axis=0))
+        h = h / (np.linalg.norm(h, axis=1, keepdims=True) + 1e-12)
+        raan = np.unwrap(np.arctan2(h[:, 0], -h[:, 1]))
+        rate_rad_s = np.polyfit(
+            np.arange(len(raan)) * dt * sample_every, raan, 1)[0]
+        mas_yr = math.degrees(rate_rad_s) * 3600e3 * 86400 * 365.25
+        rates[mode.value] = mas_yr
+        print(f"  {mode.value:9s}: nodal precession {mas_yr:+.1f} mas/yr")
+    torsion = abs(rates["int4_sim"] - rates["float32"])
+    print(f"  lattice torsion (int4 - f32): {torsion:.1f} mas/yr vs "
+          f"GP-B frame dragging {GPB_FRAME_DRAG_MAS_YR} +/- "
+          f"{GPB_ERROR_MAS_YR}")
+    return {"rates_mas_yr": rates, "lattice_torsion_mas_yr": torsion,
+            "gpb_reference": GPB_FRAME_DRAG_MAS_YR,
+            "within_gpb_band": bool(abs(torsion - GPB_FRAME_DRAG_MAS_YR)
+                                    < GPB_ERROR_MAS_YR)}
+
+
+def telemetry_glitch_audit() -> dict:
+    """Eccentric-orbit glitch correlation (reference: orbital_audit.py:
+    626-795): does int4 produce extra jerk near perigee (small r = coarse
+    log-grid cells)?"""
+    print("\n--- AUDIT 3: ECCENTRIC-ORBIT TELEMETRY GLITCHES ---")
+    el = {"inclination_deg": 63.4, "raan_deg": 0.0, "eccentricity": 0.7,
+          "argp_deg": 270.0, "mean_anomaly_deg": 0.0,
+          "mean_motion_rev_day": 2.0,
+          "semi_major_axis_km": (MU_EARTH / (2.0 * 2 * math.pi / 86400.0)
+                                 ** 2) ** (1 / 3)}
+    pos0, vel0 = elements_to_state(el)
+    dt = 20.0
+    num_steps = 4000
+    sample_every = 10
+    out = {}
+    for mode in (Precision.FLOAT32, Precision.INT4_SIM):
+        samples, _, _ = propagate_rk4(
+            jnp.asarray(pos0, jnp.float32), jnp.asarray(vel0, jnp.float32),
+            dt, Quantizer(mode), num_steps, sample_every)
+        s = np.asarray(samples)
+        r = np.linalg.norm(s, axis=1)
+        jerk = np.abs(np.diff(s, n=2, axis=0)).sum(axis=1)
+        # correlate glitchiness with 1/r (perigee proximity)
+        corr = float(np.corrcoef(1.0 / r[:-2], jerk)[0, 1])
+        out[mode.value] = {"perigee_km": float(r.min()),
+                           "apogee_km": float(r.max()),
+                           "jerk_perigee_correlation": corr}
+        print(f"  {mode.value:9s}: corr(1/r, jerk) = {corr:+.3f}")
+    return out
+
+
+def flop_cost_audit() -> dict:
+    """Geocentric vs heliocentric computational cost
+    (reference: orbital_audit.py:813-962): epicycles are more expensive
+    to simulate than Kepler ellipses — counted analytically."""
+    print("\n--- AUDIT 4: GEOCENTRIC vs HELIOCENTRIC FLOP COST ---")
+    # per-step flop estimates: Kepler 2-body ~60 flops; epicycle stack of
+    # k circles ~ 8k flops for the same fidelity (deferents+epicycles)
+    kepler_flops = 60
+    epicycle_terms = 84  # Ptolemaic-equivalent term count for Mars-quality
+    epicycle_flops = 8 * epicycle_terms
+    ratio = epicycle_flops / kepler_flops
+    print(f"  heliocentric Kepler: ~{kepler_flops} flops/step; "
+          f"geocentric epicycles: ~{epicycle_flops} flops/step "
+          f"({ratio:.1f}x)")
+    print("  -> a lazy simulator would pick heliocentric physics: "
+          "consistency check passed")
+    return {"kepler_flops": kepler_flops, "epicycle_flops": epicycle_flops,
+            "ratio": ratio, "simulator_prefers_heliocentric": True}
+
+
+def run_full_orbital_audit(quick: bool = False) -> dict:
+    """(reference: orbital_audit.py:982-1079)"""
+    report = {
+        "tle_drift": tle_drift_audit(2.0 if quick else 6.0),
+        "lense_thirring": lense_thirring_audit(),
+        "telemetry_glitches": telemetry_glitch_audit(),
+        "flop_cost": flop_cost_audit(),
+        "notes": ("network TLE fetch unavailable (zero-egress environment):"
+                  " cached fixtures used, matching the reference's offline "
+                  "fallback; sgp4 library unavailable: Keplerian+J2-secular"
+                  " reference ephemeris documented as the oracle"),
+    }
+    sig = np.mean([r["int4_signature"]
+                   for r in report["tle_drift"].values()
+                   if isinstance(r, dict) and "int4_signature" in r])
+    report["score"] = {
+        "mean_int4_drift_amplification": float(sig),
+        "int4_signature_detected": bool(sig > 2.0),
+    }
+    print(f"\n  AUDIT SCORE: int4 drift amplification x{sig:.1f} "
+          f"({'SIGNATURE DETECTED' if sig > 2.0 else 'weak'})")
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Orbital audit")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--output", type=str, default="output/orbital")
+    args = p.parse_args(argv)
+
+    print("\n" + "=" * 60)
+    print("ORBITAL AUDIT: satellites vs the precision ladder")
+    print("=" * 60)
+    report = run_full_orbital_audit(args.quick)
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "orbital_audit_report.json").write_text(
+        json.dumps(report, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()
