@@ -1,0 +1,124 @@
+"""Sharded particle-mesh pipeline: particle-parallel PM over ICI.
+
+The reference PM engines are single-GPU with Python deposit loops
+(reference: universe_2d.py:1027-1029); SURVEY.md §2.5 calls for a sharded
+density grid + distributed FFT. Strategy here, chosen for the actual grid
+sizes in play (32^3..128^2 = at most a few MB):
+
+* particles are sharded over the 1-D mesh (the same axis as the ring
+  force kernel);
+* each device deposits its resident particles into a full-size local
+  grid; one ``psum`` over the mesh produces the global density on every
+  device (the grid is tiny compared to the particle set, so replicating
+  it costs microseconds on ICI and removes all halo-exchange machinery);
+* the FFT Poisson solve runs replicated (redundant but cheap:
+  O(G log G) << O(N) deposit at production particle counts);
+* gather back to the local particle shard is purely local.
+
+For grids too large to replicate (512^3+), the pjit path at the bottom
+shards the FFT itself over the mesh and lets XLA insert the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nbody_tpu.engines.cosmo import CosmoState, PMConfig
+from nbody_tpu.ops import pm
+from nbody_tpu.ops.precision import Quantizer, quantize_force
+from nbody_tpu.parallel.ring import AXIS, _pad_to_shards
+
+
+def _local_pm_accel(pos_l, mass_l, valid_l, q: Quantizer, cfg: PMConfig,
+                    scale):
+    """Per-device PM force for the resident particle shard."""
+    deposit = pm.cic_deposit if cfg.deposit == "cic" else pm.ngp_deposit
+    gather = pm.cic_gather if cfg.deposit == "cic" else pm.ngp_gather
+
+    local_density = deposit(pos_l, mass_l * valid_l, cfg.n_grid,
+                            cfg.box_size)
+    density = jax.lax.psum(local_density, AXIS)  # replicate global grid
+
+    if cfg.dm_ratio > 0:
+        dm = pm.dm_background_field(cfg.box_size, cfg.n_grid, cfg.dm_ratio,
+                                    cfg.dim)
+        density = density + dm * jnp.mean(density)
+
+    grids = pm.poisson_accel_grids(density, cfg.box_size, cfg.n_grid, q,
+                                   cfg.G, scale, cfg.dim)
+    return gather(grids, pos_l, cfg.n_grid, cfg.box_size)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
+                                             "quantize_forces"))
+def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
+                         cfg: PMConfig, mesh: Mesh,
+                         quantize_forces: bool = True):
+    """Sharded version of engines.cosmo.run_pm_steps: scan over the
+    (z, dt, H, a) schedule with the particle-parallel PM force inside."""
+    n_total = state.positions.shape[0]
+    n_shards = mesh.shape[AXIS]
+
+    pos = _pad_to_shards(state.positions, n_shards)
+    vel = _pad_to_shards(state.velocities, n_shards)
+    masses = _pad_to_shards(state.masses, n_shards)
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+
+    def device_fn(pos_l, vel_l, m_l, ids_l, schedule):
+        valid = (ids_l < n_total).astype(jnp.float32)
+
+        def step(carry, xs):
+            p, v = carry
+            zn, dtn, Hn, an = xs
+            acc = _local_pm_accel(p, m_l, valid, q, cfg, an)
+            if quantize_forces and q.is_int:
+                lo = jax.lax.pmin(jnp.min(acc), AXIS)
+                hi = jax.lax.pmax(jnp.max(acc), AXIS)
+                acc = quantize_force(acc, q, lo=lo, hi=hi)
+            v = (v + acc * dtn
+                 - cfg.hubble_drag * Hn * v * dtn * cfg.unit_scale)
+            p = (p + v * dtn / an * cfg.unit_scale) % cfg.box_size
+            ke_l = 0.5 * jnp.sum(m_l * valid * jnp.sum(v * v, axis=-1))
+            return (p, v), jax.lax.psum(ke_l, AXIS)
+
+        (p, v), kes = jax.lax.scan(step, (pos_l, vel_l), schedule)
+        return p, v, kes
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    pos_out, vel_out, kes = fn(pos, vel, masses, ids, schedule)
+
+    def _trim(x):
+        x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
+        return x[:n_total]
+
+    num_steps = schedule[0].shape[0]
+    new_state = CosmoState(
+        positions=_trim(pos_out),
+        velocities=_trim(vel_out),
+        masses=state.masses,
+        redshift=jnp.asarray(schedule[0][-1], jnp.float32),
+        tick=state.tick + num_steps,
+    )
+    return new_state, kes
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "box_size", "mesh"))
+def sharded_fft_density(positions, weights, n_grid: int, box_size: float,
+                        mesh: Mesh):
+    """Large-grid path: density FFT with the grid itself sharded over the
+    mesh's axis (XLA inserts the transpose collectives for the FFT)."""
+    density = pm.ngp_deposit(positions, weights, n_grid, box_size)
+    density = jax.sharding.reshard(
+        density, NamedSharding(mesh, P(AXIS, *([None] *
+                                               (density.ndim - 1)))))
+    return jnp.fft.fftn(density)

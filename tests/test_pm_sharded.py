@@ -1,0 +1,98 @@
+"""Sharded PM pipeline vs the single-device engine (8-device CPU mesh).
+
+Note on tolerances: the sharded deposit sums per-shard partial grids and
+psums them, which rounds differently from the single segment_sum; in a
+chaotic N-body system that f32-level difference amplifies per step, so
+parity is asserted over short horizons with periodic-wrap-aware distances
+(positions live on a torus — a particle at 199.9 vs 0.1 is 0.2 apart, not
+199.8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.engines import cosmo
+from nbody_tpu.parallel import pm_sharded, ring
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return ring.make_particle_mesh(8)
+
+
+def _engine(n=1024, precision="float32"):
+    return cosmo.CosmologicalEngine(num_particles=n, start_redshift=20.0,
+                                    precision=precision, dim=2, n_grid=32,
+                                    seed=3)
+
+
+def _periodic_dist(a, b, box):
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    return np.minimum(d, box - d)
+
+
+def test_sharded_single_force_eval_exact(mesh8):
+    """One force evaluation must match the single-device PM bitwise-ish."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    e = _engine()
+    st = e.state
+    a_single = cosmo.pm_accelerations(st.positions, st.masses, e.quantizer,
+                                      e.cfg, 1.0 / 21.0, False)
+    ids = jnp.arange(st.positions.shape[0], dtype=jnp.int32)
+    fn = shard_map(
+        lambda p, m, i: pm_sharded._local_pm_accel(
+            p, m, (i < ids.shape[0]).astype(jnp.float32), e.quantizer,
+            e.cfg, 1.0 / 21.0),
+        mesh=mesh8, in_specs=(P(ring.AXIS), P(ring.AXIS), P(ring.AXIS)),
+        out_specs=P(ring.AXIS), check_vma=False)
+    a_shard = fn(st.positions, st.masses, ids)
+    np.testing.assert_allclose(np.asarray(a_shard), np.asarray(a_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _tame_state(n=1024):
+    """State with O(1) masses so per-step displacements are small and a
+    rounding-level deposit difference cannot chaos-amplify within the
+    test horizon (the engine's astronomical masses move particles across
+    the whole box per step at these test sizes)."""
+    e = _engine(n=n)
+    st = e.state._replace(
+        masses=jnp.ones_like(e.state.masses),
+        velocities=e.state.velocities * 0.0)
+    return e, st
+
+
+@pytest.mark.parametrize("precision", ["float32", "int4"])
+def test_sharded_pm_short_horizon(mesh8, precision):
+    e = _engine(precision=precision)
+    _, st = _tame_state()
+    st = st._replace(positions=e.state.positions)
+    schedule = e._build_schedule(1.0, 3)
+    sharded, kes = pm_sharded.run_pm_steps_sharded(
+        st, schedule, e.quantizer, e.cfg, mesh8,
+        quantize_forces=e.quantizer.is_int)
+    single, stream = cosmo.run_pm_steps(st, schedule, e.quantizer, e.cfg,
+                                        quantize_forces=e.quantizer.is_int)
+    d = _periodic_dist(sharded.positions, single.positions,
+                       e.cfg.box_size)
+    assert np.max(d) < 1e-2, f"max periodic deviation {np.max(d)}"
+    np.testing.assert_allclose(np.asarray(kes), np.asarray(stream.kinetic),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_pm_unaligned_particles(mesh8):
+    """Particle count not divisible by shard count (padding path)."""
+    e, st = _tame_state(n=900)  # 30^2 = 900, not divisible by 8
+    schedule = e._build_schedule(1.0, 2)
+    sharded, kes = pm_sharded.run_pm_steps_sharded(
+        st, schedule, e.quantizer, e.cfg, mesh8)
+    single, stream = cosmo.run_pm_steps(st, schedule, e.quantizer, e.cfg)
+    d = _periodic_dist(sharded.positions, single.positions,
+                       e.cfg.box_size)
+    assert np.max(d) < 1e-2
+    np.testing.assert_allclose(np.asarray(kes), np.asarray(stream.kinetic),
+                               rtol=1e-3, atol=1e-6)
