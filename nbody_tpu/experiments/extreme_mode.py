@@ -44,7 +44,7 @@ def count_extreme_values(x) -> dict:
         "nan": int(np.isnan(arr).sum()),
         "inf": int(np.isinf(arr).sum()),
         "subnormal": int(sub.subnormal_count),
-        "zero": int(sub.zero_count),
+        "zero": int((arr == 0).sum()),  # exact zeros (NaN excluded)
         "min_nonzero": float(sub.min_nonzero)
         if np.isfinite(float(sub.min_nonzero)) else None,
     }
