@@ -84,13 +84,26 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
         d2 = d2 + softening_sq
 
         if q.is_int:
-            d2q = quantize_distance_squared(d2, q, log_lo=log_lo,
-                                            log_hi=log_hi)
+            # Log-space fast path: the quantizer already works in
+            # log(d^2), and d^-3 = exp(-1.5 * log(d^2)) — snapping and
+            # the inverse-cube both come out of the same log, skipping
+            # the exp->rsqrt->cube round trip (same math as
+            # grid_quantize_safe o rsqrt^3; bit-level deltas only in the
+            # final exp rounding).
+            log_min = jnp.log(jnp.float32(q.min_dist_sq))
+            log_d2 = jnp.log(jnp.maximum(d2, q.min_dist_sq))
+            span = log_hi - log_lo
+            safe_span = jnp.where(span < 1e-10, 1.0, span)
+            normalized = (log_d2 - log_lo) / safe_span * (q.levels - 1)
+            log_snapped = (jnp.round(normalized) / (q.levels - 1)
+                           * safe_span + log_lo)
+            log_snapped = jnp.where(span < 1e-10, log_d2, log_snapped)
+            log_q = jnp.maximum(log_snapped, log_min)
+            factor = gm_j * jnp.exp(-1.5 * log_q)
         else:
             d2q = quantize_distance_squared(d2, q)
-
-        inv_d = jax.lax.rsqrt(d2q)
-        factor = gm_j * (inv_d * inv_d * inv_d)  # (BI, BJ) via broadcast
+            inv_d = jax.lax.rsqrt(d2q)
+            factor = gm_j * (inv_d * inv_d * inv_d)  # (BI, BJ) broadcast
 
         # Zero the self-interaction diagonal.
         j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
@@ -180,7 +193,7 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
                                              "block_i", "block_j", "interpret"))
 def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                          quantize_forces: bool = True,
-                         block_i: int = 256, block_j: int = 1024,
+                         block_i: int = 256, block_j: int = 2048,
                          interpret: bool | None = None):
     """Drop-in replacement for forces.dense/tiled_accelerations on TPU.
 
