@@ -227,3 +227,37 @@ def test_profiler_basics():
     assert a.step_count == 3
     assert a.mean_step_ms is not None and a.mean_step_ms > 0
     assert "power_watts" in a.unavailable_channels
+
+
+def test_native_fastent():
+    from nbody_tpu import native
+
+    rng = np.random.default_rng(0)
+    buf = rng.normal(size=10000).astype(np.float32).tobytes()
+    e, d = native.byte_entropy(buf)
+    # cross-check against the numpy formula
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    q = counts[counts > 0] / arr.size
+    np.testing.assert_allclose(e, float(-(q * np.log2(q)).sum()),
+                               rtol=1e-10)
+    special = np.array([np.nan, np.inf, -np.inf, 0.0, 1e-40, 1.0],
+                       dtype=np.float32).tobytes()
+    nan, inf, sub, zero, mn = native.float_census(special)
+    assert (nan, inf, sub, zero) == (1, 2, 1, 1)
+    assert 0 < mn < 1e-38
+
+
+def test_fast_state_entropy_spike_semantics():
+    from nbody_tpu.diagnostics.glitch import (
+        fast_state_entropy,
+        measure_state_entropy,
+    )
+
+    rng = np.random.default_rng(1)
+    random_state = rng.normal(size=(500, 2)).astype(np.float32)
+    repeated = np.ones((500, 2), np.float32)
+    # both probes must rank compressibility the same way
+    for fn in (fast_state_entropy, measure_state_entropy):
+        assert (fn(repeated, repeated).compression_ratio
+                > fn(random_state, random_state).compression_ratio * 2)
