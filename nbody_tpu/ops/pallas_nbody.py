@@ -105,9 +105,14 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
             inv_d = jax.lax.rsqrt(d2q)
             factor = gm_j * (inv_d * inv_d * inv_d)  # (BI, BJ) broadcast
 
-        # Zero the self-interaction diagonal.
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
-        factor = jnp.where(j_ids == i_ids, 0.0, factor)
+        # Self-interaction: when softening > 0 the diagonal term is
+        # factor * diff with diff == 0 — exactly zero with no mask needed
+        # (the reference's (1 - eye) mask, simulation.py:108, guards the
+        # unsoftened inf * 0 = NaN case only). Mask only when unsoftened.
+        if softening_sq <= 0.0:
+            j_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+                     + j0)
+            factor = jnp.where(j_ids == i_ids, 0.0, factor)
 
         # Lane-reduce over sources into (BI, 1) column accumulators.
         return tuple(
@@ -193,7 +198,7 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
                                              "block_i", "block_j", "interpret"))
 def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                          quantize_forces: bool = True,
-                         block_i: int = 256, block_j: int = 2048,
+                         block_i: int = 512, block_j: int = 2048,
                          interpret: bool | None = None):
     """Drop-in replacement for forces.dense/tiled_accelerations on TPU.
 
