@@ -189,8 +189,17 @@ def main(argv=None):
                         box_size_mpc=args.box_size,
                         start_redshift=args.start_z,
                         precision=args.precision, seed=args.seed)
+    from nbody_tpu.engines.dashboard3d import Dashboard3D
+
+    dash = Dashboard3D(u, args.output)
     t0 = time.time()
-    u.run_to_completion(dz=args.dz, chunk=20)
+    frames = 0
+    while not u.completed:
+        u.step(args.dz, num_steps=20)
+        if u.tick % 60 == 0 or u.completed:
+            dash.render_frame()
+            frames += 1
+    dash.render_frame(tag="final")
     wall = time.time() - t0
 
     sd = u.get_state_dict()

@@ -251,6 +251,8 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="output/universe3d")
     p.add_argument("--probes", action="store_true",
                    help="run substrate/collision/IRL probes after evolution")
+    p.add_argument("--frames", type=int, default=4,
+                   help="3-D dashboard frames to render across the run")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -261,8 +263,19 @@ def main(argv=None):
     u = Universe3D(num_particles=args.particles, box_size_mpc=args.box_size,
                    start_redshift=args.start_z, precision=args.precision,
                    dm_ratio=args.dm_ratio, seed=args.seed)
+    from nbody_tpu.engines.dashboard3d import Dashboard3D
+
+    dash = Dashboard3D(u, args.output)
+    total_steps = int((args.start_z - u.cfg.min_redshift) / args.dz) + 1
+    frame_every = max(1, total_steps // max(args.frames, 1))
     t0 = time.time()
-    u.run_to_completion(dz=args.dz, chunk=10)
+    rendered = 0
+    while not u.completed:
+        u.step(args.dz, num_steps=min(10, frame_every))
+        if u.tick // frame_every > rendered:
+            rendered += 1
+            dash.render_frame()
+    dash.render_frame(tag="final")
     wall = time.time() - t0
     print(f"Evolved z={args.start_z} -> {u.redshift:.2f} in {wall:.1f}s "
           f"({u.tick} steps); glitches={u.glitch_detector.get_glitch_count()}")
