@@ -110,24 +110,59 @@ def run_stability_suite(num_stars: int = 2000, max_ticks: int = 2000,
     return results, threshold
 
 
+def run_multi_seed(num_stars: int, max_ticks: int, n_seeds: int,
+                   base_seed: int):
+    """Per-mode drift with t-based 95% CIs across seeds — the statistical
+    rigor harness applied to the stability floor
+    (reference: reproducibility.py:362-398 + stability suite)."""
+    from nbody_tpu.utils.reproducibility import run_with_confidence
+
+    stats = {}
+    for mode in MODES:
+        def drift_for_seed(seed: int) -> float:
+            pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed),
+                                             num_stars=num_stars)
+            r = test_precision_mode(pos, vel, m, mode, max_ticks)
+            return r.energy_drift_percent
+
+        stats[mode.value] = run_with_confidence(
+            drift_for_seed, n_seeds=n_seeds, base_seed=base_seed,
+            metric_name=f"drift_{mode.value}")
+    print(f"\n{'=' * 60}\nMULTI-SEED DRIFT ({n_seeds} seeds, 95% CI)"
+          f"\n{'=' * 60}")
+    for mode, s in stats.items():
+        print(f"{mode:12s} {s.mean:+8.3f}%  "
+              f"[{s.ci_95_low:+8.3f}, {s.ci_95_high:+8.3f}]")
+    return stats
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Quantization stability floor")
     p.add_argument("--stars", type=int, default=2000)
     p.add_argument("--ticks", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seeds", type=int, default=1,
+                   help=">1: multi-seed run with t-based 95% CIs")
     p.add_argument("--output", type=str, default="output/stability")
     args = p.parse_args(argv)
 
     results, threshold = run_stability_suite(args.stars, args.ticks,
                                              args.seed)
-    out = Path(args.output)
-    out.mkdir(parents=True, exist_ok=True)
-    (out / "stability_results.json").write_text(json.dumps({
+    payload = {
         "results": [dataclasses.asdict(r) for r in results],
         "threshold_mode": threshold,
         "num_stars": args.stars,
         "max_ticks": args.ticks,
-    }, indent=2))
+    }
+    if args.seeds > 1:
+        stats = run_multi_seed(args.stars, args.ticks, args.seeds,
+                               args.seed)
+        payload["multi_seed"] = {k: dataclasses.asdict(v)
+                                 for k, v in stats.items()}
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "stability_results.json").write_text(json.dumps(payload,
+                                                           indent=2))
     print(f"\nResults written to {out / 'stability_results.json'}")
 
 

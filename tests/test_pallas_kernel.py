@@ -8,6 +8,7 @@ bin), so those comparisons are statistical rather than exact.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -76,5 +77,18 @@ def test_pallas_masses_affect_force():
     q = Quantizer(Precision.FLOAT32)
     a_pal = pallas_accelerations(pos, m2, q, CFG, block_i=128, block_j=256)
     a_ref = forces.dense_accelerations(pos, m2, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_3d_matches_dense():
+    """The kernel is dimension-generic: D=3 must match the dense oracle."""
+    key = jax.random.PRNGKey(7)
+    pos = jax.random.normal(key, (300, 3)) * 5.0
+    vel = jnp_zeros = None
+    m = jax.random.uniform(jax.random.PRNGKey(8), (300,)) + 0.5
+    q = Quantizer(Precision.FLOAT32)
+    a_pal = pallas_accelerations(pos, m, q, CFG, block_i=128, block_j=256)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
                                rtol=2e-5, atol=1e-6)
