@@ -39,13 +39,15 @@ def kinetic_energy(velocities, masses) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def potential_energy(positions, masses, cfg: SimConfig,
-                     block: int = 1024) -> jnp.ndarray:
+                     block: int = 1024, softening_sq=None) -> jnp.ndarray:
     """U = -G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2).
 
     Tiled over row blocks (O(N) memory) with a compensated reduction;
     counts every unordered pair once via a 0.5x over the full masked matrix
     (equivalent to the reference's triu mask, simulation.py:189-190).
     """
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
     n, d = positions.shape
     pad = (-n) % block
     pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
@@ -55,7 +57,7 @@ def potential_energy(positions, masses, cfg: SimConfig,
     def block_fn(args):
         pos_i, m_i, ids_i = args
         diff = positions[None, :, :] - pos_i[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+        d2 = jnp.sum(diff * diff, axis=-1) + softening_sq
         inv_d = jax.lax.rsqrt(d2)
         pair = m_i[:, None] * masses[None, :] * inv_d
         mask = ids_i[:, None] != jnp.arange(n)[None, :]
@@ -74,9 +76,10 @@ def potential_energy(positions, masses, cfg: SimConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def total_energy(positions, velocities, masses, cfg: SimConfig) -> jnp.ndarray:
+def total_energy(positions, velocities, masses, cfg: SimConfig,
+                 softening_sq=None) -> jnp.ndarray:
     return kinetic_energy(velocities, masses) + potential_energy(
-        positions, masses, cfg)
+        positions, masses, cfg, softening_sq=softening_sq)
 
 
 # --------------------------------------------------------------------------

@@ -86,8 +86,14 @@ def detect_crash(positions, velocities, prev_positions, energy, prev_energy,
 
 
 def _run_until_crash(pos, vel, m, quantizer, cfg: SimConfig,
-                     max_ticks: int, check: int = 10):
-    sim = DirectSimulation(pos, vel, m, precision=quantizer, cfg=cfg)
+                     max_ticks: int, check: int = 10,
+                     dynamic: bool = False):
+    # dynamic=True: dt/softening become traced scalars so the whole sweep
+    # reuses one compiled program instead of recompiling per value.
+    sim = DirectSimulation(pos, vel, m, precision=quantizer,
+                           dt=cfg.dt, softening=cfg.softening,
+                           dynamic_params=dynamic) if dynamic else \
+        DirectSimulation(pos, vel, m, precision=quantizer, cfg=cfg)
     prev_pos = None
     prev_energy = None
     energy = sim.get_total_energy()
@@ -130,7 +136,7 @@ def find_dt_crash_point(num_stars, max_ticks, seed):
     results = []
     for dt in [0.001, 0.005, 0.01, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0]:
         crash = _run_until_crash(pos, vel, m, Quantizer(Precision.FLOAT32),
-                                 SimConfig(dt=dt), max_ticks)
+                                 SimConfig(dt=dt), max_ticks, dynamic=True)
         results.append({"dt": dt,
                         "crash": dataclasses.asdict(crash) if crash else None})
         print(f"  dt={dt:6.3f}: {crash.crash_type if crash else 'survived'}")
@@ -162,7 +168,8 @@ def find_softening_crash_point(num_stars, max_ticks, seed):
     results = []
     for soft in [1.0, 0.5, 0.1, 0.05, 0.01, 0.005, 0.001, 5e-4, 1e-4]:
         crash = _run_until_crash(pos, vel, m, Quantizer(Precision.FLOAT32),
-                                 SimConfig(softening=soft), max_ticks)
+                                 SimConfig(softening=soft), max_ticks,
+                                 dynamic=True)
         results.append({"softening": soft,
                         "crash": dataclasses.asdict(crash) if crash else None})
         print(f"  eps={soft:7.4f}: "

@@ -59,8 +59,8 @@ def subnormal_hell(num_stars: int, num_ticks: int, seed: int) -> dict:
     for chunk in range(num_ticks // 20):
         softening *= 0.95 ** 20
         sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
-                               cfg=SimConfig(softening=max(softening,
-                                                           1e-45)))
+                               softening=max(softening, 1e-45),
+                               dynamic_params=True)
         sim.step(20)
         pos, vel = sim.positions, sim.velocities
         census = count_extreme_values(vel)

@@ -173,8 +173,8 @@ def test_parameter_sensitivity(num_stars: int = 600, num_ticks: int = 300,
 
     soft_sweep = {}
     for soft in (0.01, 0.05, 0.1, 0.3, 0.5, 1.0):
-        sim = DirectSimulation(pos, vel, m, precision=q,
-                               cfg=SimConfig(softening=soft))
+        sim = DirectSimulation(pos, vel, m, precision=q, softening=soft,
+                               dynamic_params=True)
         e0 = sim.get_total_energy()
         sim.step(num_ticks)
         soft_sweep[soft] = energy_drift_pct(e0, sim.get_total_energy())
@@ -182,8 +182,8 @@ def test_parameter_sensitivity(num_stars: int = 600, num_ticks: int = 300,
 
     dt_sweep = {}
     for dt in (0.001, 0.005, 0.01, 0.02, 0.05):
-        sim = DirectSimulation(pos, vel, m, precision=q,
-                               cfg=SimConfig(dt=dt))
+        sim = DirectSimulation(pos, vel, m, precision=q, dt=dt,
+                               dynamic_params=True)
         e0 = sim.get_total_energy()
         sim.step(num_ticks)
         dt_sweep[dt] = energy_drift_pct(e0, sim.get_total_energy())

@@ -78,7 +78,7 @@ def temporal_aliasing_test(quick: bool, seed: int) -> dict:
     rows = []
     for dt in dts:
         sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
-                               cfg=SimConfig(dt=float(dt)))
+                               dt=float(dt), dynamic_params=True)
         e0 = sim.get_total_energy()
         sim.step(100)
         e1 = sim.get_total_energy()

@@ -58,12 +58,17 @@ def _force_fn(impl: str, n: int):
 # --------------------------------------------------------------------------
 
 def leapfrog_step(state: ParticleState, q: Quantizer, cfg: SimConfig,
-                  force: Callable, quantize_forces: bool) -> ParticleState:
-    """One KDK step (reference: simulation.py:120-143)."""
-    half_dt = cfg.dt * 0.5
+                  force: Callable, quantize_forces: bool,
+                  dt=None, softening_sq=None) -> ParticleState:
+    """One KDK step (reference: simulation.py:120-143). ``dt`` and
+    ``softening_sq`` optionally override the static cfg with traced
+    scalars so parameter sweeps share one compiled program."""
+    dt = cfg.dt if dt is None else dt
+    half_dt = dt * 0.5
     vel = state.velocities + state.accelerations * half_dt
-    pos = state.positions + vel * cfg.dt
-    acc = force(pos, state.masses, q, cfg, quantize_forces=quantize_forces)
+    pos = state.positions + vel * dt
+    acc = force(pos, state.masses, q, cfg, quantize_forces=quantize_forces,
+                softening_sq=softening_sq)
     vel = vel + acc * half_dt
     return ParticleState(pos, vel, state.masses, acc, state.tick + 1)
 
@@ -81,12 +86,15 @@ def leapfrog_step_baseline(state: BaselineState, cfg: SimConfig) -> BaselineStat
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "num_steps"))
 def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
-              impl: str, quantize_forces: bool, num_steps: int) -> ParticleState:
-    """num_steps leapfrog steps as one fused on-device scan."""
+              impl: str, quantize_forces: bool, num_steps: int,
+              dt=None, softening_sq=None) -> ParticleState:
+    """num_steps leapfrog steps as one fused on-device scan. Optional
+    traced dt/softening_sq: one compiled program serves a whole sweep."""
     force = _force_fn(impl, state.positions.shape[0])
 
     def body(s, _):
-        return leapfrog_step(s, q, cfg, force, quantize_forces), None
+        return leapfrog_step(s, q, cfg, force, quantize_forces,
+                             dt=dt, softening_sq=softening_sq), None
 
     state, _ = jax.lax.scan(body, state, None, length=num_steps)
     return state
@@ -163,13 +171,25 @@ class DirectSimulation:
                  dt: Optional[float] = None,
                  force_impl: str = "auto",
                  quantize_forces: Optional[bool] = None,
-                 custom_levels: int = 64):
+                 custom_levels: int = 64,
+                 dynamic_params: bool = False):
         if isinstance(precision, str):
             precision = Quantizer.from_string(precision, custom_levels)
         elif isinstance(precision, Precision):
             precision = Quantizer(mode=precision, custom_levels=custom_levels)
         self.quantizer = precision
-        if G is not None or softening is not None or dt is not None:
+        self._dyn_dt = None
+        self._dyn_soft_sq = None
+        if dynamic_params:
+            # dt/softening become traced runtime scalars: any sweep over
+            # them reuses ONE compiled program (G stays static; it simply
+            # scales the precomputed G*m source row).
+            self._dyn_dt = jnp.float32(dt if dt is not None else cfg.dt)
+            s = softening if softening is not None else cfg.softening
+            self._dyn_soft_sq = jnp.float32(s * s)
+            if G is not None:
+                cfg = SimConfig(G=G, softening=cfg.softening, dt=cfg.dt)
+        elif G is not None or softening is not None or dt is not None:
             cfg = SimConfig(G=G if G is not None else cfg.G,
                             softening=softening if softening is not None else cfg.softening,
                             dt=dt if dt is not None else cfg.dt)
@@ -193,7 +213,8 @@ class DirectSimulation:
             force = _force_fn(force_impl, self.state.num_particles)
             acc = force(self.state.positions, self.state.masses,
                         self.quantizer, cfg,
-                        quantize_forces=self.quantize_forces)
+                        quantize_forces=self.quantize_forces,
+                        softening_sq=self._dyn_soft_sq)
             self.state = self.state._replace(accelerations=acc)
 
     # -- stepping -----------------------------------------------------------
@@ -222,7 +243,8 @@ class DirectSimulation:
         else:
             self.state = run_steps(self.state, self.quantizer, self.cfg,
                                    self.force_impl, self.quantize_forces,
-                                   num_steps)
+                                   num_steps, dt=self._dyn_dt,
+                                   softening_sq=self._dyn_soft_sq)
 
     def run(self, num_ticks: int, callback: Optional[Callable] = None,
             callback_interval: int = 100):
@@ -261,12 +283,14 @@ class DirectSimulation:
         return float(metrics_lib.kinetic_energy(self.velocities, self.masses))
 
     def get_potential_energy(self) -> float:
-        return float(metrics_lib.potential_energy(self.positions, self.masses,
-                                                  self.cfg))
+        return float(metrics_lib.potential_energy(
+            self.positions, self.masses, self.cfg,
+            softening_sq=self._dyn_soft_sq))
 
     def get_total_energy(self) -> float:
-        return float(metrics_lib.total_energy(self.positions, self.velocities,
-                                              self.masses, self.cfg))
+        return float(metrics_lib.total_energy(
+            self.positions, self.velocities, self.masses, self.cfg,
+            softening_sq=self._dyn_soft_sq))
 
     def get_state(self) -> dict:
         """Reference-parity state export (reference: simulation.py:160-168)."""

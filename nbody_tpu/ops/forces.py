@@ -44,16 +44,20 @@ from nbody_tpu.ops.precision import (
 
 
 def _pair_block(pos_i, pos_j, masses_j, self_mask, q: Quantizer,
-                cfg: SimConfig, log_lo, log_hi):
+                cfg: SimConfig, log_lo, log_hi, softening_sq=None):
     """Acceleration of a block of receivers `pos_i` due to sources `pos_j`.
 
     pos_i: (B, D), pos_j: (M, D), masses_j: (M,), self_mask: (B, M) bool
     marking entries where receiver == source (to be zeroed).
+    ``softening_sq`` optionally overrides the static cfg value with a
+    traced scalar (one compiled program serves a whole parameter sweep).
     Returns (B, D) f32.
     """
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
     # (B, M, D) displacement; D is 2 or 3 so this is VPU-friendly.
     diff = pos_j[None, :, :] - pos_i[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq  # (B, M)
+    d2 = jnp.sum(diff * diff, axis=-1) + softening_sq  # (B, M)
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
     # 1/d^3 = rsqrt(d2)^3 — one transcendental per pair.
     inv_d = jax.lax.rsqrt(d2q.astype(jnp.float32))
@@ -65,10 +69,12 @@ def _pair_block(pos_i, pos_j, masses_j, self_mask, q: Quantizer,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def max_pairwise_dist_sq(positions: jnp.ndarray, cfg: SimConfig,
-                         block: int = 1024) -> jnp.ndarray:
+                         block: int = 1024, softening_sq=None) -> jnp.ndarray:
     """Global max of the softened pairwise dist^2 matrix, O(N) memory.
 
     Needed only for int-sim modes (the log-grid's upper bound)."""
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
     n = positions.shape[0]
     pad = (-n) % block
     pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
@@ -83,15 +89,19 @@ def max_pairwise_dist_sq(positions: jnp.ndarray, cfg: SimConfig,
 
     blocks = pos_p.reshape(-1, block, positions.shape[1])
     maxes = jax.lax.map(row_block_max, blocks)
-    return jnp.max(maxes) + cfg.softening_sq
+    return jnp.max(maxes) + softening_sq
 
 
-def _quant_bounds(positions, q: Quantizer, cfg: SimConfig):
+def _quant_bounds(positions, q: Quantizer, cfg: SimConfig,
+                  softening_sq=None):
     """(log_lo, log_hi) for int modes, else (None, None)."""
     if not q.is_int:
         return None, None
-    max_d2 = max_pairwise_dist_sq(positions, cfg)
-    return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+    max_d2 = max_pairwise_dist_sq(positions, cfg,
+                                  softening_sq=softening_sq)
+    return dist_sq_log_bounds(
+        q, max_d2,
+        cfg.softening_sq if softening_sq is None else softening_sq)
 
 
 def _maybe_quantize_force(acc, q: Quantizer, quantize_forces: bool):
@@ -102,16 +112,17 @@ def _maybe_quantize_force(acc, q: Quantizer, quantize_forces: bool):
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces"))
 def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
-                        quantize_forces: bool = True) -> jnp.ndarray:
+                        quantize_forces: bool = True,
+                        softening_sq=None) -> jnp.ndarray:
     """Oracle implementation: materialises (N, N). Small N only."""
     n = positions.shape[0]
     # Use the same bounds helper as the tiled/Pallas paths so all three
     # implementations quantize onto bit-identical grids (a 1-ulp bound
     # difference can flip a bin and move a force by a whole grid step).
-    log_lo, log_hi = _quant_bounds(positions, q, cfg)
+    log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
     self_mask = jnp.eye(n, dtype=bool)
     acc = _pair_block(positions, positions, masses, self_mask, q, cfg,
-                      log_lo, log_hi)
+                      log_lo, log_hi, softening_sq)
     return _maybe_quantize_force(acc, q, quantize_forces)
 
 
@@ -119,10 +130,10 @@ def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                                              "block"))
 def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                         quantize_forces: bool = True,
-                        block: int = 1024) -> jnp.ndarray:
+                        block: int = 1024, softening_sq=None) -> jnp.ndarray:
     """O(N) memory row-blocked force evaluation (any backend)."""
     n, d = positions.shape
-    log_lo, log_hi = _quant_bounds(positions, q, cfg)
+    log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
 
     pad = (-n) % block
     pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
@@ -132,7 +143,7 @@ def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
         pos_i, ids_i = args
         self_mask = ids_i[:, None] == jnp.arange(n)[None, :]
         return _pair_block(pos_i, positions, masses, self_mask, q, cfg,
-                           log_lo, log_hi)
+                           log_lo, log_hi, softening_sq)
 
     blocks = (pos_p.reshape(-1, block, d), row_ids.reshape(-1, block))
     acc = jax.lax.map(block_fn, blocks).reshape(-1, d)[:n]

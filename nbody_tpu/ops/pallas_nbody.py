@@ -50,11 +50,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
-                  *, q: Quantizer, softening_sq: float, dim: int,
+                  *, q: Quantizer, self_masked: bool, dim: int,
                   block_i: int, block_j: int, n_pad: int):
     """One grid step: accelerations for receiver block i over all sources.
 
-    bounds_ref: (1, 2) SMEM — [log_lo, log_hi] for the int-sim quantizer
+    bounds_ref: (1, 3) SMEM — [log_lo, log_hi, softening_sq]; softening
+        lives in SMEM so a traced sweep value reuses one compiled kernel
     pos_i_ref:  (BI, D) VMEM — this receiver block (sublane-major)
     src_ref:    (D+1, N_pad) VMEM — rows 0..D-1: coordinates; row D: G*m_j
     out_ref:    (BI, D) VMEM — acceleration of this receiver block
@@ -69,6 +70,7 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
 
     log_lo = bounds_ref[0, 0]
     log_hi = bounds_ref[0, 1]
+    softening_sq = bounds_ref[0, 2]
 
     def j_chunk(jc, acc):
         j0 = jc * block_j
@@ -108,8 +110,9 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
         # Self-interaction: when softening > 0 the diagonal term is
         # factor * diff with diff == 0 — exactly zero with no mask needed
         # (the reference's (1 - eye) mask, simulation.py:108, guards the
-        # unsoftened inf * 0 = NaN case only). Mask only when unsoftened.
-        if softening_sq <= 0.0:
+        # unsoftened inf * 0 = NaN case only). Masked when the static
+        # softening is zero OR when softening is a traced sweep value.
+        if self_masked:
             j_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
                      + j0)
             factor = jnp.where(j_ids == i_ids, 0.0, factor)
@@ -160,7 +163,7 @@ def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
                                              "interpret"))
 def pallas_max_dist_sq(positions, cfg: SimConfig,
                        block_i: int = 256, block_j: int = 2048,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, softening_sq=None):
     """Global max softened pairwise dist^2, as a compute-bound Pallas pass.
 
     Replaces the lax.map version for large N, where XLA materialises
@@ -191,7 +194,9 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
         out_shape=jax.ShapeDtypeStruct((n_pad // block_i, 1), jnp.float32),
         interpret=interpret,
     )(pos_pad, src)
-    return jnp.max(block_maxes) + cfg.softening_sq
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
+    return jnp.max(block_maxes) + softening_sq
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
@@ -199,13 +204,19 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
 def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                          quantize_forces: bool = True,
                          block_i: int = 512, block_j: int = 2048,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         softening_sq=None):
     """Drop-in replacement for forces.dense/tiled_accelerations on TPU.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
-    code path is unit-testable on the CPU mesh."""
+    code path is unit-testable on the CPU mesh. ``softening_sq`` optionally
+    overrides the static cfg value with a traced scalar (one compiled
+    program serves a whole softening sweep)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    dynamic_soft = softening_sq is not None
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
 
     n, dim = positions.shape
     n_pad = _round_up(max(n, block_i, block_j), max(block_i, block_j, 128))
@@ -217,15 +228,20 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     # Rows 0..D-1: coordinates (lane-major); row D: G*m_j.
     src = jnp.concatenate([pos_pad.T, gmass], axis=0)  # (D+1, N_pad)
 
+    soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
-        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret)
-        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
-        bounds = jnp.stack([log_lo, log_hi]).reshape(1, 2).astype(jnp.float32)
+        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
+                                    softening_sq=softening_sq)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
+        bounds = jnp.stack(
+            [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
     else:
-        bounds = jnp.zeros((1, 2), jnp.float32)
+        bounds = jnp.stack(
+            [jnp.float32(0), jnp.float32(0), soft]).reshape(1, 3)
 
     kernel = functools.partial(
-        _force_kernel, q=q, softening_sq=cfg.softening_sq, dim=dim,
+        _force_kernel, q=q,
+        self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
         block_i=block_i, block_j=block_j, n_pad=n_pad)
 
     grid = (n_pad // block_i,)
@@ -233,7 +249,7 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block_i, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -265,7 +265,9 @@ def dist_sq_log_bounds(q: Quantizer, max_dist_sq, softening_sq: float) -> tuple:
     semantics: quantization.py:112-113 computes both from the full (N, N)
     tensor; here the min is exact by construction).
     """
-    lo = max(softening_sq, q.min_dist_sq)
-    log_lo = jnp.log(jnp.asarray(lo, dtype=jnp.float32))
+    # jnp.maximum so a traced (dynamic-sweep) softening also works
+    lo = jnp.maximum(jnp.asarray(softening_sq, jnp.float32),
+                     jnp.float32(q.min_dist_sq))
+    log_lo = jnp.log(lo)
     log_hi = jnp.log(jnp.maximum(max_dist_sq, lo))
     return log_lo, log_hi
