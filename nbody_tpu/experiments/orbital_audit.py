@@ -158,7 +158,16 @@ def _accel(pos, q: Quantizer):
         j2f * y * (5 * z * z / r_sq - 1),
         j2f * z * (5 * z * z / r_sq - 3),
     ])
-    return a_kepler + a_j2
+    acc = a_kepler + a_j2
+    if q.is_int:
+        # Component-wise force quantization (reference semantics,
+        # quantization.py:74-88 applied per step): the linear grid acts on
+        # Cartesian components, which is NOT rotationally symmetric — this
+        # axis-aligned "lattice" bias is the torsion source the
+        # Lense-Thirring audit measures.
+        from nbody_tpu.ops.precision import grid_quantize
+        acc = grid_quantize(acc, q.levels)
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("q", "num_steps", "sample_every"))
@@ -255,7 +264,8 @@ def lense_thirring_audit(num_years: float = 1.0) -> dict:
     num_steps = int(hours * 3600 / dt)
     sample_every = max(num_steps // 100, 1)
     rates = {}
-    for mode in (Precision.FLOAT32, Precision.INT4_SIM):
+    for mode in (Precision.FLOAT32, Precision.INT8_SIM,
+                 Precision.INT4_SIM):
         samples, _, _ = propagate_rk4(
             jnp.asarray(pos0, jnp.float32), jnp.asarray(vel0, jnp.float32),
             dt, Quantizer(mode), num_steps // sample_every * sample_every,
