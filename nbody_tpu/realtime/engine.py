@@ -232,6 +232,7 @@ class RSIMonitor(threading.Thread):
     def __init__(self, state: SharedState):
         super().__init__(daemon=True, name="rsi-monitor")
         self.state = state
+        self._last_desync = 0
 
     def run(self):
         while self.state.running:
@@ -246,8 +247,12 @@ class RSIMonitor(threading.Thread):
                     energy_score = max(0.0, 1.0 - 10.0 * max(deltas))
                 else:
                     energy_score = 1.0
-                sync_score = max(0.0, 1.0 - 0.1 *
-                                 self.state.clock.desync_count)
+                # score on RECENT desyncs (last RSI tick), not the
+                # unbounded lifetime counter, so a slow-but-steady engine
+                # is penalized proportionally rather than pinned at zero
+                recent = self.state.clock.desync_count - self._last_desync
+                self._last_desync = self.state.clock.desync_count
+                sync_score = max(0.0, 1.0 - 0.5 * recent)
                 if m.bao_scale > 0:
                     bao_score = max(0.0, 1.0 - abs(m.bao_scale -
                                                    BAO_REFERENCE_MPC)
