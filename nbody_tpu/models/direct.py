@@ -265,7 +265,11 @@ class DirectSimulation:
                          num_bins: int = 20):
         """Fully on-device run; returns (snapshots, position_frames) stacked
         over snapshot boundaries — the TPU-native replacement for the
-        reference's record_callback history (simulation.py:229-242)."""
+        reference's record_callback history (simulation.py:229-242).
+
+        Snapshots land at interval multiples; any remainder ticks are still
+        run (the reference advances the full num_ticks even when the last
+        callback interval is partial, simulation.py:154-158)."""
         num_chunks = max(num_ticks // snapshot_interval, 1)
         steps = snapshot_interval if num_ticks >= snapshot_interval else num_ticks
         if self.is_baseline:
@@ -275,6 +279,9 @@ class DirectSimulation:
             self.state, snaps, frames = run_with_snapshots(
                 self.state, self.quantizer, self.cfg, self.force_impl,
                 self.quantize_forces, steps, num_chunks, num_bins)
+        remainder = num_ticks - steps * num_chunks
+        if remainder > 0:
+            self.step(remainder)
         return snaps, frames
 
     # -- diagnostics --------------------------------------------------------

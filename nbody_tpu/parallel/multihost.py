@@ -1,0 +1,76 @@
+"""Multi-host (DCN) initialization and cross-host determinism checks.
+
+SURVEY.md §2.5: the reference's "cross-machine" story is offline JSON
+exchange (reference: ultimate_reality_engine.py:694-833); the TPU-native
+equivalent is ``jax.distributed`` across hosts of a pod slice, with
+per-shard state hashing compared over collectives instead of files.
+
+Untestable on this single-host dev box — kept deliberately thin: a
+documented wrapper over ``jax.distributed.initialize`` plus the two
+primitives the engines need (global mesh, cross-host hash agreement).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("nbody_tpu.multihost")
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed for a multi-host pod slice.
+
+    On TPU pods, all arguments are auto-detected from the environment; on
+    other setups pass them explicitly. Returns True if a multi-process
+    runtime is active after the call. Safe to call on a single host
+    (no-op, returns False).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception as e:  # single-host or already initialized
+        logger.info("jax.distributed not initialized (%s); single-host", e)
+    n = jax.process_count()
+    if n > 1:
+        logger.info("multihost: %d processes, %d global devices", n,
+                    jax.device_count())
+    return n > 1
+
+
+def make_global_mesh(axis_name: str = "shards") -> jax.sharding.Mesh:
+    """1-D mesh over ALL global devices (ICI within a slice, DCN across
+    hosts — XLA routes each collective over the right fabric)."""
+    return jax.make_mesh((jax.device_count(),), (axis_name,))
+
+
+def cross_host_state_agreement(positions, velocities) -> dict:
+    """The live replacement for the reference's JSON 'substrate mirror':
+    every process hashes its local view; agreement is established with a
+    collective instead of a file exchange.
+
+    Returns {"hash": ..., "all_equal": bool, "num_processes": int}.
+    """
+    from nbody_tpu.utils.reproducibility import hash_state
+
+    local_hash = hash_state(positions, velocities)
+    # Compare by broadcasting a numeric digest through a psum: all hosts
+    # contribute digest/num_processes; equality of the psum with any local
+    # digest (within exact integer arithmetic) implies agreement.
+    digest = np.frombuffer(bytes.fromhex(local_hash), dtype=np.uint64)[0]
+    n = jax.process_count()
+    if n == 1:
+        return {"hash": local_hash, "all_equal": True, "num_processes": 1}
+
+    digest_arr = jnp.asarray([np.float64(digest % (2 ** 52))])
+    summed = jax.experimental.multihost_utils.process_allgather(digest_arr)
+    all_equal = bool(np.all(np.asarray(summed) == np.asarray(summed)[0]))
+    return {"hash": local_hash, "all_equal": all_equal,
+            "num_processes": n}

@@ -71,9 +71,7 @@ class CheckpointManager:
         while len(ckpts) > self.max_to_keep:
             victim = ckpts.pop(0)
             victim.unlink(missing_ok=True)
-            meta = victim.with_suffix(".meta.json")
-            Path(str(victim).replace(".npz", ".meta.json")).unlink(
-                missing_ok=True)
+            victim.with_suffix(".meta.json").unlink(missing_ok=True)
 
     # -- restore ------------------------------------------------------------
 

@@ -215,3 +215,13 @@ def test_nfw_enclosed_mass_monotone():
     r = jnp.linspace(0.1, 100.0, 200)
     M = galaxy.nfw_enclosed_mass(r, 1000.0, 30.0)
     assert np.all(np.diff(np.asarray(M)) > 0)
+
+
+def test_run_with_history_remainder_ticks():
+    """num_ticks not divisible by the interval still advances fully
+    (reference runs all ticks; callbacks just land on multiples)."""
+    pos, vel, m = _ics(64)
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
+    snaps, frames = sim.run_with_history(250, snapshot_interval=100)
+    assert int(sim.state.tick) == 250
+    assert int(snaps.tick[-1]) == 200  # snapshots at interval multiples
