@@ -271,3 +271,66 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     if quantize_forces and q.is_int:
         acc = quantize_force(acc, q)
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "block_i",
+                                             "block_j", "interpret"))
+def pallas_pair_force(receivers, sources, gm_sources, q: Quantizer,
+                      cfg: SimConfig, log_lo=None, log_hi=None,
+                      block_i: int = 512, block_j: int = 2048,
+                      interpret: bool | None = None):
+    """Accelerations of `receivers` due to `sources` (disjoint or equal
+    sets) — the per-device tile of the multi-chip ring kernel
+    (parallel/ring.py): each ring step is one of these calls instead of a
+    broadcast (B, B, D) jnp tensor, keeping the local compute VMEM-tiled
+    at production block sizes.
+
+    gm_sources = G * m_j (precomputed). For int-sim modes pass the GLOBAL
+    log bounds (from the ring max pass); receivers==sources overlap is
+    safe with softening > 0 (zero diff -> zero contribution).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_i, dim = receivers.shape
+    n_j = sources.shape[0]
+    ni_pad = _round_up(max(n_i, block_i), block_i)
+    nj_pad = _round_up(max(n_j, block_j, 128), block_j)
+
+    pos_i = jnp.zeros((ni_pad, dim), jnp.float32).at[:n_i].set(
+        receivers.astype(jnp.float32))
+    src = jnp.zeros((dim + 1, nj_pad), jnp.float32)
+    src = src.at[:dim, :n_j].set(sources.astype(jnp.float32).T)
+    src = src.at[dim, :n_j].set(gm_sources.astype(jnp.float32))
+
+    soft = jnp.asarray(cfg.softening_sq, jnp.float32)
+    if q.is_int:
+        if log_lo is None or log_hi is None:
+            raise ValueError("int-sim modes need global log bounds from "
+                             "the ring max pass")
+        bounds = jnp.stack([jnp.asarray(log_lo, jnp.float32),
+                            jnp.asarray(log_hi, jnp.float32),
+                            soft]).reshape(1, 3)
+    else:
+        bounds = jnp.stack([jnp.float32(0), jnp.float32(0),
+                            soft]).reshape(1, 3)
+
+    kernel = functools.partial(
+        _force_kernel, q=q, self_masked=False, dim=dim,
+        block_i=block_i, block_j=block_j, n_pad=nj_pad)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(ni_pad // block_i,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim + 1, nj_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni_pad, dim), jnp.float32),
+        interpret=interpret,
+    )(bounds, pos_i, src)
+    return acc[:n_i]

@@ -50,8 +50,28 @@ def make_particle_mesh(n_devices: int | None = None) -> Mesh:
     return jax.make_mesh((len(devices),), (AXIS,), devices=devices)
 
 
-def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi):
-    """(B, D) accelerations of receivers xi due to sources xj."""
+def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
+                impl: str = "auto"):
+    """(B, D) accelerations of receivers xi due to sources xj.
+
+    impl='pallas' uses the VMEM-tiled pair-force kernel (the production
+    multi-chip path: no (B, B, D) broadcast tensor per ring step, which at
+    16k-particle shards would be a GB-scale HBM intermediate);
+    impl='jnp' is the broadcast reference; 'auto' picks pallas on TPU for
+    shards >= 1024.
+    """
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and xi.shape[0] >= 1024 else "jnp")
+    if impl == "pallas":
+        from nbody_tpu.ops.pallas_nbody import pallas_pair_force
+
+        # softening > 0 makes receiver/source coincidences contribute
+        # exactly zero, so no id mask is needed (see ops/pallas_nbody.py).
+        return pallas_pair_force(xi, xj, gm_j, q, cfg,
+                                 log_lo=log_lo, log_hi=log_hi,
+                                 block_i=min(512, max(xi.shape[0], 8)),
+                                 block_j=min(2048, max(xj.shape[0], 128)))
     diff = xj[None, :, :] - xi[:, None, :]  # (B, B, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -84,7 +104,8 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg):
 
 def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
                               q: Quantizer, cfg: SimConfig,
-                              quantize_forces: bool):
+                              quantize_forces: bool,
+                              tile_impl: str = "auto"):
     """Per-device body: accelerations for the resident receiver block.
 
     Runs inside shard_map. ``ids_local`` are global particle indices
@@ -101,7 +122,7 @@ def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
     def step(s, carry):
         acc, pos_j, gm_j, ids_j = carry
         acc = acc + _tile_force(pos_local, ids_local, pos_j, gm_j, ids_j,
-                                q, cfg, log_lo, log_hi)
+                                q, cfg, log_lo, log_hi, impl=tile_impl)
         perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
         pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
         gm_j = jax.lax.ppermute(gm_j, AXIS, perm)
@@ -222,7 +243,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
 
 
 def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
-                       mesh: Mesh, quantize_forces: bool = False):
+                       mesh: Mesh, quantize_forces: bool = False,
+                       tile_impl: str = "auto"):
     """One sharded force evaluation (library entry for tests/benchmarks)."""
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
@@ -232,7 +254,8 @@ def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
 
     fn = shard_map(
         functools.partial(_ring_accelerations_local, n_total=n_total, q=q,
-                          cfg=cfg, quantize_forces=quantize_forces),
+                          cfg=cfg, quantize_forces=quantize_forces,
+                          tile_impl=tile_impl),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
         out_specs=P(AXIS),

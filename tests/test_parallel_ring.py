@@ -75,3 +75,15 @@ def test_sharded_run_energy_stream(mesh8):
     from nbody_tpu.diagnostics.metrics import kinetic_energy
     ke_direct = float(kinetic_energy(out.velocities, out.masses))
     np.testing.assert_allclose(float(kes[-1]), ke_direct, rtol=1e-3)
+
+
+def test_ring_force_pallas_tile(mesh8):
+    """The production tile path (Pallas pair-force per ring step) must
+    match the jnp broadcast path (interpret mode on the CPU mesh)."""
+    pos, vel, m = _ics(256)
+    q = Quantizer(Precision.FLOAT32)
+    a_jnp = ring.ring_accelerations(pos, m, q, CFG, mesh8, tile_impl="jnp")
+    a_pal = ring.ring_accelerations(pos, m, q, CFG, mesh8,
+                                    tile_impl="pallas")
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_jnp),
+                               rtol=5e-5, atol=2e-6)
