@@ -31,15 +31,9 @@ import numpy as np
 
 from nbody_tpu.config import PLANCK18, Cosmology
 from nbody_tpu.diagnostics import glitch as glitch_lib
-from nbody_tpu.engines.epochs import EPOCHS, CosmicEpoch, get_current_epoch
+from nbody_tpu.engines.epochs import EPOCHS, get_current_epoch
 from nbody_tpu.ops import pm
-from nbody_tpu.ops.precision import (
-    Precision,
-    Quantizer,
-    describe_mode,
-    get_mode_from_string,
-    quantize_force,
-)
+from nbody_tpu.ops.precision import Quantizer, describe_mode, quantize_force
 
 logger = logging.getLogger("nbody_tpu.cosmo")
 

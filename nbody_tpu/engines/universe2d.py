@@ -15,14 +15,13 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 from nbody_tpu.engines.cosmo import CosmologicalEngine
-from nbody_tpu.engines.epochs import EPOCHS, get_current_epoch
+from nbody_tpu.engines.epochs import EPOCHS
 
 
 class Universe2D(CosmologicalEngine):

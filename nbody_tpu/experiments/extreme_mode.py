@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nbody_tpu.config import SimConfig
-from nbody_tpu.diagnostics.glitch import FP32_MIN_NORMAL, count_subnormals
+from nbody_tpu.diagnostics.glitch import count_subnormals
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops import forces

@@ -32,10 +32,9 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from nbody_tpu.config import SimConfig
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
-from nbody_tpu.ops.precision import Precision, Quantizer
+from nbody_tpu.ops.precision import Precision
 
 
 def bekenstein_bound_test(quick: bool, seed: int) -> dict:

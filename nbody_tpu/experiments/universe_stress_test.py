@@ -18,7 +18,6 @@ import json
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from nbody_tpu.experiments import crash_point_test as cpt
 from nbody_tpu.experiments import density_limit_test as dlt

@@ -42,7 +42,6 @@ from nbody_tpu.ops.precision import (
     quantize_distance_squared,
     quantize_force,
 )
-from nbody_tpu.ops.forces import max_pairwise_dist_sq
 
 
 def _round_up(x: int, m: int) -> int:

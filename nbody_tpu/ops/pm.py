@@ -15,7 +15,6 @@ The precision hook matches the reference: the Poisson solve divides by a
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

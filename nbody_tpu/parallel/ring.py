@@ -22,7 +22,6 @@ cheaper ring pass (max reduction) followed by a ``jax.lax.pmax``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
-from nbody_tpu.diagnostics import metrics as metrics_lib
 from nbody_tpu.models.state import ParticleState
 from nbody_tpu.ops.precision import (
     Quantizer,
