@@ -1,0 +1,44 @@
+"""Behavioral parity vs the PyTorch reference engine (torch CPU).
+
+Identical ICs through both engines; per-interval energy-drift
+trajectories must agree to the SURVEY §7 statistical envelopes. Skipped
+if the reference checkout or torch is unavailable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference checkout not mounted")
+
+
+def test_int4_drift_trajectory_matches_reference():
+    import jax
+
+    from tools.reference_parity import run_ours, run_reference
+    from nbody_tpu.models.galaxy import create_disk_galaxy
+
+    pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(42), num_stars=200)
+    pos, vel, m = map(np.asarray, (pos, vel, m))
+    ref_d, ref_pos, _ = run_reference(pos, vel, m, "int4", 200, 50)
+    our_d, our_pos, _ = run_ours(pos, vel, m, "int4", 200, 50)
+    # trajectory-level agreement, checkpoint by checkpoint
+    np.testing.assert_allclose(our_d, ref_d, rtol=0.05, atol=0.02)
+
+
+def test_float32_drift_matches_reference():
+    import jax
+
+    from tools.reference_parity import run_ours, run_reference
+    from nbody_tpu.models.galaxy import create_disk_galaxy
+
+    pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(7), num_stars=200)
+    pos, vel, m = map(np.asarray, (pos, vel, m))
+    ref_d, _, _ = run_reference(pos, vel, m, "float32", 200, 100)
+    our_d, _, _ = run_ours(pos, vel, m, "float32", 200, 100)
+    np.testing.assert_allclose(our_d, ref_d, atol=0.01)
