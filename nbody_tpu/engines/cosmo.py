@@ -409,6 +409,28 @@ class CosmologicalEngine:
         return float(pm.clustering_metric(self.state.positions,
                                           self.cfg.box_size))
 
+    # -- checkpointing --------------------------------------------------
+
+    def save_checkpoint(self, manager) -> int:
+        """Write the CosmoState at the current tick (utils.checkpoint)."""
+        manager.save(self.tick, self.state, {
+            "precision": self.precision_str,
+            "redshift": self.redshift,
+            "num_particles": self.num_particles,
+        })
+        return self.tick
+
+    def restore_latest(self, manager) -> Optional[int]:
+        """Resume from the newest checkpoint, if any. Returns its tick."""
+        step = manager.latest_step()
+        if step is None:
+            return None
+        self.state = manager.restore(step, self.state)
+        self.completed = self.redshift <= self.cfg.min_redshift
+        logger.info("resumed from checkpoint at tick %d (z=%.3f)", step,
+                    self.redshift)
+        return step
+
     def get_state_dict(self) -> dict:
         """Exportable state (reference: universe_genesis.py:500-511)."""
         return {

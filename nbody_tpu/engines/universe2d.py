@@ -129,6 +129,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=5,
                    help="dashboard frames to render across the run")
     p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="enable checkpoint/resume in this directory")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -137,6 +139,15 @@ def main(argv=None):
     u = Universe2D(num_particles=args.particles, box_size_mpc=args.box_size,
                    start_redshift=args.start_z, precision=args.precision,
                    dm_ratio=args.dm_ratio, seed=args.seed)
+    ckpt = None
+    if args.checkpoint_dir:
+        from nbody_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        resumed = u.restore_latest(ckpt)
+        if resumed is not None:
+            print(f"resumed from checkpoint at tick {resumed} "
+                  f"(z={u.redshift:.2f})")
     dash = Universe2DDashboard(u, args.output)
 
     total_steps = int((args.start_z - u.cfg.min_redshift) / args.dz) + 1
@@ -148,6 +159,8 @@ def main(argv=None):
         if u.tick // frame_every > rendered:
             rendered += 1
             dash.render_frame()
+            if ckpt:
+                u.save_checkpoint(ckpt)
             print(f"tick {u.tick}: z={u.redshift:.2f} "
                   f"BAO={u.get_bao_scale():.1f} Mpc "
                   f"clustering={u.get_clustering():.3f} "

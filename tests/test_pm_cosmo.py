@@ -190,3 +190,23 @@ def test_clustering_grows():
     c1 = e.get_clustering()
     assert np.isfinite(c1)
     assert c1 > c0 * 0.5  # structure should not wash out
+
+
+def test_engine_checkpoint_resume(tmp_path):
+    """Engine-level checkpoint/resume round-trips the CosmoState."""
+    from nbody_tpu.utils.checkpoint import CheckpointManager
+
+    kw = dict(num_particles=256, start_redshift=10.0, precision="int4",
+              dim=2, n_grid=16, seed=11)
+    a = cosmo.CosmologicalEngine(**kw)
+    mgr = CheckpointManager(str(tmp_path / "ck"), use_orbax=False)
+    a.step(1.0, 4)
+    a.save_checkpoint(mgr)
+    a.step(1.0, 3)
+    final = np.asarray(a.positions)
+
+    b = cosmo.CosmologicalEngine(**kw)
+    assert b.restore_latest(mgr) == 4
+    assert b.tick == 4
+    b.step(1.0, 3)
+    np.testing.assert_array_equal(np.asarray(b.positions), final)
