@@ -112,13 +112,19 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
     return new_state, kes
 
 
-@functools.partial(jax.jit, static_argnames=("n_grid", "box_size", "mesh"))
 def sharded_fft_density(positions, weights, n_grid: int, box_size: float,
                         mesh: Mesh):
     """Large-grid path: density FFT with the grid itself sharded over the
-    mesh's axis (XLA inserts the transpose collectives for the FFT)."""
-    density = pm.ngp_deposit(positions, weights, n_grid, box_size)
-    density = jax.sharding.reshard(
-        density, NamedSharding(mesh, P(AXIS, *([None] *
-                                               (density.ndim - 1)))))
-    return jnp.fft.fftn(density)
+    mesh's axis (XLA inserts the transpose collectives for the FFT).
+    Runs inside the mesh context (explicit-sharding resharding needs it)."""
+
+    @functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
+    def _impl(positions, weights, n_grid, box_size):
+        density = pm.ngp_deposit(positions, weights, n_grid, box_size)
+        density = jax.sharding.reshard(
+            density, NamedSharding(mesh, P(AXIS, *([None] *
+                                                   (density.ndim - 1)))))
+        return jnp.fft.fftn(density)
+
+    with jax.set_mesh(mesh):
+        return _impl(positions, weights, n_grid, box_size)

@@ -96,3 +96,16 @@ def test_sharded_pm_unaligned_particles(mesh8):
     assert np.max(d) < 1e-2
     np.testing.assert_allclose(np.asarray(kes), np.asarray(stream.kinetic),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_fft_density(mesh8):
+    """Large-grid path: FFT over a mesh-sharded density grid matches the
+    unsharded FFT."""
+    pos = jax.random.uniform(jax.random.PRNGKey(5), (2048, 2)) * 100.0
+    w = jnp.ones(2048)
+    from nbody_tpu.ops import pm as pm_ops
+
+    sharded = pm_sharded.sharded_fft_density(pos, w, 64, 100.0, mesh8)
+    dense = jnp.fft.fftn(pm_ops.ngp_deposit(pos, w, 64, 100.0))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-4, atol=1e-3)
