@@ -112,11 +112,10 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
     return new_state, kes
 
 
-def sharded_fft_density(positions, weights, n_grid: int, box_size: float,
-                        mesh: Mesh):
-    """Large-grid path: density FFT with the grid itself sharded over the
-    mesh's axis (XLA inserts the transpose collectives for the FFT).
-    Runs inside the mesh context (explicit-sharding resharding needs it)."""
+@functools.lru_cache(maxsize=None)
+def _sharded_fft_impl(mesh: Mesh):
+    """Per-mesh jitted distributed-FFT program (cached so repeated calls
+    hit the compile cache instead of retracing per invocation)."""
 
     @functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
     def _impl(positions, weights, n_grid, box_size):
@@ -126,5 +125,13 @@ def sharded_fft_density(positions, weights, n_grid: int, box_size: float,
                                                    (density.ndim - 1)))))
         return jnp.fft.fftn(density)
 
+    return _impl
+
+
+def sharded_fft_density(positions, weights, n_grid: int, box_size: float,
+                        mesh: Mesh):
+    """Large-grid path: density FFT with the grid itself sharded over the
+    mesh's axis (XLA inserts the transpose collectives for the FFT).
+    Runs inside the mesh context (explicit-sharding resharding needs it)."""
     with jax.set_mesh(mesh):
-        return _impl(positions, weights, n_grid, box_size)
+        return _sharded_fft_impl(mesh)(positions, weights, n_grid, box_size)
