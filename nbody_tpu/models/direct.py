@@ -116,15 +116,17 @@ def run_steps_baseline(state: BaselineState, cfg: SimConfig,
 def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
                        impl: str, quantize_forces: bool,
                        steps_per_chunk: int, num_chunks: int,
-                       num_bins: int = 20):
+                       num_bins: int = 20, dt=None, softening_sq=None):
     """Run num_chunks * steps_per_chunk ticks; emit a fused metrics Snapshot
     and a position frame after each chunk. Entirely on-device: one jitted
-    program, outputs stacked along a leading chunk axis."""
+    program, outputs stacked along a leading chunk axis. Optional traced
+    dt/softening_sq override the static cfg (dynamic-sweep mode)."""
     force = _force_fn(impl, state.positions.shape[0])
 
     def chunk(s, _):
         def body(ss, __):
-            return leapfrog_step(ss, q, cfg, force, quantize_forces), None
+            return leapfrog_step(ss, q, cfg, force, quantize_forces,
+                                 dt=dt, softening_sq=softening_sq), None
 
         s, _ = jax.lax.scan(body, s, None, length=steps_per_chunk)
         snap = metrics_lib.snapshot(s.positions, s.velocities, s.masses,
@@ -180,6 +182,12 @@ class DirectSimulation:
         self.quantizer = precision
         self._dyn_dt = None
         self._dyn_soft_sq = None
+        if dynamic_params and (isinstance(precision, Quantizer)
+                               and precision.mode == Precision.FLOAT64
+                               or precision == Precision.FLOAT64):
+            raise ValueError("dynamic_params is not supported for the "
+                             "float64 baseline (double-double path uses "
+                             "the static cfg); sweep with static configs")
         if dynamic_params:
             # dt/softening become traced runtime scalars: any sweep over
             # them reuses ONE compiled program (G stays static; it simply
@@ -278,7 +286,8 @@ class DirectSimulation:
         else:
             self.state, snaps, frames = run_with_snapshots(
                 self.state, self.quantizer, self.cfg, self.force_impl,
-                self.quantize_forces, steps, num_chunks, num_bins)
+                self.quantize_forces, steps, num_chunks, num_bins,
+                dt=self._dyn_dt, softening_sq=self._dyn_soft_sq)
         remainder = num_ticks - steps * num_chunks
         if remainder > 0:
             self.step(remainder)

@@ -29,6 +29,7 @@ Per pair: ~16 VPU flops + 1 rsqrt; f32 accumulators.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -171,7 +172,11 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, dim = positions.shape
-    n_pad = _round_up(max(n, block_i, block_j), max(block_i, block_j, 128))
+    # pad to a common multiple so BOTH the receiver grid and the source
+    # loop tile n_pad exactly (non-divisible block pairs would silently
+    # skip rows/chunks otherwise)
+    n_pad = _round_up(max(n, block_i, block_j),
+                      math.lcm(block_i, block_j, 128))
     positions = positions.astype(jnp.float32)
     pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
     src = pos_pad.T  # (D, N_pad) lane-major
@@ -218,7 +223,8 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
         softening_sq = cfg.softening_sq
 
     n, dim = positions.shape
-    n_pad = _round_up(max(n, block_i, block_j), max(block_i, block_j, 128))
+    n_pad = _round_up(max(n, block_i, block_j),
+                      math.lcm(block_i, block_j, 128))
 
     positions = positions.astype(jnp.float32)
     pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
@@ -293,7 +299,7 @@ def pallas_pair_force(receivers, sources, gm_sources, q: Quantizer,
     n_i, dim = receivers.shape
     n_j = sources.shape[0]
     ni_pad = _round_up(max(n_i, block_i), block_i)
-    nj_pad = _round_up(max(n_j, block_j, 128), block_j)
+    nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
 
     pos_i = jnp.zeros((ni_pad, dim), jnp.float32).at[:n_i].set(
         receivers.astype(jnp.float32))

@@ -156,6 +156,7 @@ def f16_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
     # Normal range: RNE on the low 13 mantissa bits.
     bias = ((mag >> 13) & jnp.uint32(1)) + jnp.uint32(0x0FFF)
     rounded = (mag + bias) & jnp.uint32(0xFFFFE000)
+    rounded_abs = jax.lax.bitcast_convert_type(rounded, jnp.float32)
     normal = jax.lax.bitcast_convert_type(rounded | sign, jnp.float32)
 
     # Subnormal range: snap onto multiples of 2^-24 (RNE via rint).
@@ -166,7 +167,9 @@ def f16_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
                                        jnp.float32)
 
     out = jnp.where(absx < jnp.float32(2.0 ** -14), subnormal, normal)
-    out = jnp.where(absx > jnp.float32(65504.0), inf, out)
+    # Overflow follows the ROUNDED magnitude (IEEE RNE: values below
+    # 65520 round down to 65504; only >= 65520 round past f16 max).
+    out = jnp.where(rounded_abs > jnp.float32(65504.0), inf, out)
     return jnp.where(jnp.isnan(x), x, out)
 
 

@@ -69,8 +69,10 @@ def cross_host_state_agreement(positions, velocities) -> dict:
     if n == 1:
         return {"hash": local_hash, "all_equal": True, "num_processes": 1}
 
+    from jax.experimental import multihost_utils
+
     digest_arr = jnp.asarray([np.float64(digest % (2 ** 52))])
-    summed = jax.experimental.multihost_utils.process_allgather(digest_arr)
+    summed = multihost_utils.process_allgather(digest_arr)
     all_equal = bool(np.all(np.asarray(summed) == np.asarray(summed)[0]))
     return {"hash": local_hash, "all_equal": all_equal,
             "num_processes": n}

@@ -76,10 +76,18 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
             p, v = carry
             zn, dtn, Hn, an = xs
             acc = _local_pm_accel(p, m_l, valid, q, cfg, an)
+            # Freeze phantoms (padding): no integration, no influence on
+            # the force-quantization bounds (reference bounds span exactly
+            # the real (N, D) tensor).
+            vmask = valid[:, None]
+            acc = jnp.where(vmask > 0, acc, 0.0)
             if quantize_forces and q.is_int:
-                lo = jax.lax.pmin(jnp.min(acc), AXIS)
-                hi = jax.lax.pmax(jnp.max(acc), AXIS)
+                lo = jax.lax.pmin(
+                    jnp.min(jnp.where(vmask > 0, acc, jnp.inf)), AXIS)
+                hi = jax.lax.pmax(
+                    jnp.max(jnp.where(vmask > 0, acc, -jnp.inf)), AXIS)
                 acc = quantize_force(acc, q, lo=lo, hi=hi)
+                acc = jnp.where(vmask > 0, acc, 0.0)
             v = (v + acc * dtn
                  - cfg.hubble_drag * Hn * v * dtn * cfg.unit_scale)
             p = (p + v * dtn / an * cfg.unit_scale) % cfg.box_size

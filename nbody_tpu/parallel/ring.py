@@ -58,6 +58,9 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
     impl='jnp' is the broadcast reference; 'auto' picks pallas on TPU for
     shards >= 1024.
     """
+    if cfg.softening_sq <= 0.0:
+        # unsoftened self-pairs need the id mask (inf * 0 = NaN otherwise)
+        impl = "jnp"
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and xi.shape[0] >= 1024 else "jnp")
@@ -131,12 +134,19 @@ def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
     acc, _, _, _ = jax.lax.fori_loop(
         0, axis_size, step, (acc0, pos_local, gm_local, ids_local))
 
+    # Freeze phantom (padding) receivers: they must neither integrate nor
+    # contribute to the quantization bounds (reference bounds span exactly
+    # the real (N, D) force tensor).
+    valid = (ids_local < n_total)[:, None]
+    acc = jnp.where(valid, acc, 0.0)
+
     if quantize_forces and q.is_int:
         # Reference semantics: linear grid over the *global* acc min/max
         # (reference: quantization.py:74-88 on the full (N, D) tensor).
-        lo = jax.lax.pmin(jnp.min(acc), AXIS)
-        hi = jax.lax.pmax(jnp.max(acc), AXIS)
+        lo = jax.lax.pmin(jnp.min(jnp.where(valid, acc, jnp.inf)), AXIS)
+        hi = jax.lax.pmax(jnp.max(jnp.where(valid, acc, -jnp.inf)), AXIS)
         acc = quantize_force(acc, q, lo=lo, hi=hi)
+        acc = jnp.where(valid, acc, 0.0)
     return acc
 
 
@@ -190,7 +200,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
 
         def chunk(carry, _):
             carry, _ = jax.lax.scan(one_step, carry, None,
-                                    length=max(steps_per_chunk, 1))
+                                    length=max(min(steps_per_chunk,
+                                                   num_steps), 1))
             p, v, a = carry
             # On-device sharded energy: KE via psum; PE via a ring pass is
             # omitted here (KE tracks heating, the quantity the realtime
@@ -201,11 +212,15 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
             ke = jax.lax.psum(ke_l, AXIS)
             return carry, ke
 
-        n_chunks = (max(num_steps // max(steps_per_chunk, 1), 1)
-                    if steps_per_chunk else 1)
         if steps_per_chunk:
+            spc = min(steps_per_chunk, num_steps)
+            n_chunks = num_steps // spc
+            remainder = num_steps - n_chunks * spc
             carry, kes = jax.lax.scan(chunk, (pos_l, vel_l, acc_l), None,
                                       length=n_chunks)
+            if remainder:  # run the tail ticks (no snapshot for them)
+                carry, _ = jax.lax.scan(one_step, carry, None,
+                                        length=remainder)
         else:
             carry, _ = jax.lax.scan(one_step, (pos_l, vel_l, acc_l), None,
                                     length=num_steps)

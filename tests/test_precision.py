@@ -158,7 +158,8 @@ def test_f16_roundtrip_emulation_matches_cast():
         rng.uniform(-1.0, 1.0, 2000),
         rng.uniform(-1e-5, 1e-5, 2000),        # subnormal territory
         rng.uniform(-1e-8, 1e-8, 1000),
-        np.array([0.0, -0.0, 65504.0, 65520.0, 1e5, -1e5,
+        np.array([0.0, -0.0, 65504.0, 65505.0, 65519.0, 65519.9,
+                  65520.0, 1e5, -1e5,
                   2.0 ** -14, 2.0 ** -14 * 0.999, 2.0 ** -24, np.inf,
                   -np.inf]),
     ]).astype(np.float32)
