@@ -18,6 +18,7 @@ exactly (the reference's GPU runs also carried scheduling noise).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import jax
@@ -59,8 +60,27 @@ class MultiverseReport:
     heisenberg_product: float          # Δx * Δv at the end (A vs B)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def _run_reversed(pos, vel, acc, m, cfg: SimConfig, num_steps: int):
+    """Leapfrog scan with the reversed-sum force (module-level jit so
+    repeated intervals hit the compile cache instead of retracing)."""
+
+    def body(carry, _):
+        p, v, a = carry
+        v = v + a * (cfg.dt / 2)
+        p = p + v * cfg.dt
+        a = reversed_sum_accelerations(p, m, Quantizer(), cfg)
+        v = v + a * (cfg.dt / 2)
+        return (p, v, a), None
+
+    (p, v, a), _ = jax.lax.scan(body, (pos, vel, acc), None,
+                                length=num_steps)
+    return p, v, a
+
+
 class MultiverseSim:
-    """Three universes stepped in lockstep."""
+    """Three universes stepped in lockstep: A (standard engine), B
+    (reversed-sum force, run by _run_reversed on raw arrays), C (fp16)."""
 
     def __init__(self, positions, velocities, masses,
                  cfg: SimConfig = SimConfig()):
@@ -68,11 +88,6 @@ class MultiverseSim:
         self.universe_a = DirectSimulation(positions, velocities, masses,
                                            precision=Precision.FLOAT32,
                                            cfg=cfg, force_impl="dense")
-        self.universe_b = DirectSimulation(positions, velocities, masses,
-                                           precision=Precision.FLOAT32,
-                                           cfg=cfg, force_impl="dense")
-        # replace B's force path with the reversed-order variant
-        self.universe_b._reversed = True
         self.universe_c = DirectSimulation(positions, velocities, masses,
                                            precision=Precision.FLOAT16,
                                            cfg=cfg, force_impl="dense")
@@ -83,27 +98,9 @@ class MultiverseSim:
             self._b_state[0], self._b_state[2], Quantizer(), cfg)
 
     def _step_b(self, num_steps: int):
-        """Leapfrog with the reversed-sum force (kept separate from the
-        engine because its force function is the experiment itself)."""
-        cfg = self.cfg
         pos, vel, m = self._b_state
-        acc = self._b_acc
-
-        @jax.jit
-        def run(pos, vel, acc, m):
-            def body(carry, _):
-                p, v, a = carry
-                v = v + a * (cfg.dt / 2)
-                p = p + v * cfg.dt
-                a = reversed_sum_accelerations(p, m, Quantizer(), cfg)
-                v = v + a * (cfg.dt / 2)
-                return (p, v, a), None
-
-            (p, v, a), _ = jax.lax.scan(body, (pos, vel, acc), None,
-                                        length=num_steps)
-            return p, v, a
-
-        pos, vel, acc = run(pos, vel, acc, m)
+        pos, vel, acc = _run_reversed(pos, vel, self._b_acc, m, self.cfg,
+                                      num_steps)
         self._b_state = (pos, vel, m)
         self._b_acc = acc
 

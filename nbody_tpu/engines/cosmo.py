@@ -352,6 +352,11 @@ class CosmologicalEngine:
         if ev:
             self.history["glitches"].append(ev)
 
+        # per-chunk structure measurements (reference logs BAO/clustering
+        # every 10 ticks, universe_2d.py:1203-1207)
+        self.history["bao_scale"].append(self.get_bao_scale())
+        self.history["clustering"].append(self.get_clustering())
+
         # exploit probes (reference: every 20 ticks)
         ke_now = self.history["energy"][-1]
         results = self.exploit_engine.run_all_probes(
@@ -427,6 +432,12 @@ class CosmologicalEngine:
             return None
         self.state = manager.restore(step, self.state)
         self.completed = self.redshift <= self.cfg.min_redshift
+        # re-sync derived run state with the restored redshift so the next
+        # step does not log a bogus epoch transition; histories continue
+        # from the resume point (pre-crash history lives with the writer)
+        self.current_epoch = get_current_epoch(self.redshift)
+        self.history["redshift"].append(self.redshift)
+        self.history["time_gyr"].append(self.time_gyr)
         logger.info("resumed from checkpoint at tick %d (z=%.3f)", step,
                     self.redshift)
         return step

@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import enum
 import functools
 import json
 import logging
@@ -31,26 +30,6 @@ from nbody_tpu.engines.cosmo import (
     CosmologicalEngine,
     PMConfig,
 )
-
-
-class GenesisEpoch(enum.Enum):
-    """Full 16-epoch timeline (reference: universe_genesis.py:98-118)."""
-
-    PLANCK = "planck"
-    INFLATION = "inflation"
-    QUARK = "quark_epoch"
-    HADRON = "hadron_epoch"
-    NUCLEOSYNTHESIS = "bbn"
-    RADIATION = "radiation"
-    MATTER = "matter_dom"
-    RECOMBINATION = "cmb"
-    DARK_AGES = "dark_ages"
-    FIRST_STARS = "first_stars"
-    REIONIZATION = "reion"
-    GALAXY_FORMATION = "galaxies"
-    PEAK_SF = "peak_sf"
-    DARK_ENERGY = "dark_energy"
-    PRESENT = "now"
 
 
 @dataclass(frozen=True)

@@ -125,8 +125,10 @@ def run_bao_test(engine: UltimateEngine, epochs: int = 5,
               f"BAO={bao:6.1f} Mpc  ({wall:.2f}s)")
     baos = [r["bao_scale_mpc"] for r in rows if r["bao_scale_mpc"] > 0]
     times = [r["step_time_s"] for r in rows if r["bao_scale_mpc"] > 0]
-    corr = (float(np.corrcoef(baos, times)[0, 1])
-            if len(baos) >= 3 else 0.0)
+    if len(baos) >= 3 and np.std(baos) > 0 and np.std(times) > 0:
+        corr = float(np.corrcoef(baos, times)[0, 1])
+    else:
+        corr = 0.0  # degenerate series: no correlation measurable
     final_dev = (abs(baos[-1] - SDSS_BAO_SCALE) / SDSS_BAO_SCALE
                  if baos else 1.0)
     print(f"  BAO-vs-steptime correlation: {corr:+.3f} "
@@ -141,32 +143,49 @@ def run_bao_test(engine: UltimateEngine, epochs: int = 5,
 # --------------------------------------------------------------------------
 
 def compute_2point_correlation(positions, box_size: float,
-                               r_bins=None, num_anchors: int = 1024):
+                               r_bins=None, num_anchors: int = 1024,
+                               anchor_chunk: int = 128):
     """Vectorised xi(r) estimator (reference: :1213-1256 vectorised):
     counts pairs in shells around sampled anchors vs the random
-    expectation, with periodic minimum-image distances."""
+    expectation, with periodic minimum-image distances. Anchors are
+    processed in fused chunks (lax.map under jit) so peak memory stays
+    ~anchor_chunk * N * D instead of num_anchors * N * D."""
     if r_bins is None:
         r_bins = np.array([1, 2, 5, 10, 20, 50, 100], float)
     pos = jnp.asarray(positions)
     n = pos.shape[0]
     anchors = pos[:: max(n // num_anchors, 1)][:num_anchors]
-
-    diff = pos[None, :, :] - anchors[:, None, :]
-    diff = jnp.where(diff > box_size / 2, diff - box_size, diff)
-    diff = jnp.where(diff < -box_size / 2, diff + box_size, diff)
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-
-    xi = []
     n_anchor = anchors.shape[0]
+    pad = (-n_anchor) % anchor_chunk
+    if pad:
+        anchors = jnp.concatenate(
+            [anchors, jnp.full((pad, pos.shape[1]), -1e9)], axis=0)
+
+    edges = tuple((max(r - r * 0.2, 1e-6), r + r * 0.2) for r in r_bins)
+
+    @jax.jit
+    def shell_counts(anchors):
+        def chunk_counts(anchor_chunk_pos):
+            diff = pos[None, :, :] - anchor_chunk_pos[:, None, :]
+            diff = jnp.where(diff > box_size / 2, diff - box_size, diff)
+            diff = jnp.where(diff < -box_size / 2, diff + box_size, diff)
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            # padded anchors sit at -1e9: every wrapped distance is large,
+            # falling outside all shells
+            return jnp.stack([
+                jnp.sum((dist > lo) & (dist < hi) & (dist > 0))
+                for lo, hi in edges])
+
+        chunks = anchors.reshape(-1, anchor_chunk, pos.shape[1])
+        return jnp.sum(jax.lax.map(chunk_counts, chunks), axis=0)
+
+    counts = np.asarray(shell_counts(anchors))
     density = n / box_size ** 3
-    for r in r_bins:
-        dr = r * 0.2
-        count = float(jnp.sum((dist > max(r - dr, 1e-6)) & (dist < r + dr)
-                              & (dist > 0)))
-        shell_vol = 4.0 / 3.0 * np.pi * ((r + dr) ** 3
-                                         - max(r - dr, 0.0) ** 3)
+    xi = []
+    for (lo, hi), count in zip(edges, counts):
+        shell_vol = 4.0 / 3.0 * np.pi * (hi ** 3 - lo ** 3)
         expected = n_anchor * density * shell_vol
-        xi.append(count / expected - 1.0 if expected > 0 else 0.0)
+        xi.append(float(count) / expected - 1.0 if expected > 0 else 0.0)
     return r_bins, np.asarray(xi)
 
 

@@ -74,9 +74,9 @@ class SubstrateInterferenceProbe:
     def _cpu_stress(self):
         n = 3
         while not self._stop.is_set():
-            # trial-division primality churn
-            is_p = all(n % d for d in range(2, min(int(n ** 0.5) + 1, 5000)))
-            n += 2 if is_p else 2
+            # trial-division primality churn (busy work; result unused)
+            all(n % d for d in range(2, min(int(n ** 0.5) + 1, 5000)))
+            n += 2
 
     def _time_steps(self, universe, num: int, device_stress: bool):
         import jax

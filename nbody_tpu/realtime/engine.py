@@ -146,7 +146,7 @@ class CosmicWebEngine:
         return CosmologicalEngine(
             num_particles=self.num_particles, start_redshift=50.0,
             precision=self.precision, dim=2, n_grid=64,
-            min_redshift=0.001)
+            min_redshift=0.001, seed=self.seed)
 
     def start(self):
         self.engine = self._new_engine()
@@ -329,7 +329,17 @@ def run_realtime_engine(num_particles: int = 10000,
                         seed: int = 42, headless: bool = True,
                         out_dir: str = "output/realtime",
                         frame_interval_s: float = 5.0) -> dict:
-    """(reference: realtime_reality_engine.py:766-880)"""
+    """(reference: realtime_reality_engine.py:766-880)
+
+    headless=False requests a live matplotlib window; without an
+    interactive display this environment cannot provide one, so the run
+    falls back to headless PNG frames with a warning."""
+    if not headless:
+        import matplotlib
+
+        if matplotlib.get_backend().lower().startswith("agg"):
+            print("WARNING: no interactive display available; falling "
+                  "back to headless PNG frames")
     state = SharedState()
     producer = CosmicWebEngine(state, num_particles, precision, seed)
     producer.start()  # main-thread engine construction + first snapshot

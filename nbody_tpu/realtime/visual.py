@@ -36,17 +36,25 @@ GHOST_FORCE_DM_THRESHOLD = 5.0  # percent (reference: realtime_visual.py:240)
 class PrecisionCompareViewer:
     def __init__(self, num_stars: int = 2000, seed: int = 42,
                  steps_per_frame: int = 5,
-                 out_dir: str = "output/realtime_visual"):
+                 out_dir: str = "output/realtime_visual",
+                 mode: str = "compare"):
+        """mode: 'compare' runs both universes; 'clean'/'broken' run and
+        render only that universe (reference: realtime_visual.py:362-383)."""
         key = jax.random.PRNGKey(seed)
         pos, vel, m = create_disk_galaxy(key, num_stars)
-        self.clean = DirectSimulation(pos, vel, m,
-                                      precision=Precision.FLOAT32)
-        self.broken = DirectSimulation(
-            pos, vel, m,
-            precision=Quantizer(Precision.CUSTOM, custom_levels=16),
-            quantize_forces=False)
-        self.e0_clean = self.clean.get_total_energy()
-        self.e0_broken = self.broken.get_total_energy()
+        self.mode = mode
+        self.clean = None
+        self.broken = None
+        if mode in ("compare", "clean"):
+            self.clean = DirectSimulation(pos, vel, m,
+                                          precision=Precision.FLOAT32)
+            self.e0_clean = self.clean.get_total_energy()
+        if mode in ("compare", "broken"):
+            self.broken = DirectSimulation(
+                pos, vel, m,
+                precision=Quantizer(Precision.CUSTOM, custom_levels=16),
+                quantize_forces=False)
+            self.e0_broken = self.broken.get_total_energy()
         self.steps_per_frame = steps_per_frame
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -54,19 +62,61 @@ class PrecisionCompareViewer:
                         "ghost": []}
         self.frame_idx = 0
 
+    @property
+    def tick(self) -> int:
+        sim = self.clean or self.broken
+        return sim.tick
+
     def step(self):
-        self.clean.step(self.steps_per_frame)
-        self.broken.step(self.steps_per_frame)
-        drift_c = ((self.clean.get_total_energy() - self.e0_clean)
-                   / abs(self.e0_clean) * 100)
-        drift_b = ((self.broken.get_total_energy() - self.e0_broken)
-                   / abs(self.e0_broken) * 100)
-        self.history["ticks"].append(self.clean.tick)
+        drift_c = drift_b = 0.0
+        if self.clean is not None:
+            self.clean.step(self.steps_per_frame)
+            drift_c = ((self.clean.get_total_energy() - self.e0_clean)
+                       / abs(self.e0_clean) * 100)
+        if self.broken is not None:
+            self.broken.step(self.steps_per_frame)
+            drift_b = ((self.broken.get_total_energy() - self.e0_broken)
+                       / abs(self.e0_broken) * 100)
+        self.history["ticks"].append(self.tick)
         self.history["drift_clean"].append(drift_c)
         self.history["drift_broken"].append(drift_b)
-        self.history["ghost"].append(drift_b - drift_c)
+        self.history["ghost"].append(drift_b - drift_c
+                                     if self.mode == "compare" else 0.0)
+
+    def _render_single(self):
+        """Single-universe frame for --mode clean/broken."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        sim = self.clean if self.mode == "clean" else self.broken
+        drift_key = ("drift_clean" if self.mode == "clean"
+                     else "drift_broken")
+        p = np.asarray(sim.positions)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 6),
+                                       facecolor="#0b0b16")
+        ax1.scatter(p[:, 0], p[:, 1], s=0.8, c="white", alpha=0.6)
+        ax1.set_facecolor("black")
+        ax1.set_xlim(-20, 20)
+        ax1.set_ylim(-20, 20)
+        ax1.set_title(f"{self.mode.upper()} universe, tick {self.tick}",
+                      color="white")
+        ax1.tick_params(colors="white")
+        ax2.plot(self.history["ticks"], self.history[drift_key],
+                 color="#2ecc71" if self.mode == "clean" else "#e74c3c")
+        ax2.set_title("Energy drift %", color="white")
+        ax2.set_facecolor("#101020")
+        ax2.tick_params(colors="white")
+        fig.tight_layout()
+        path = self.out_dir / f"{self.mode}_{self.frame_idx:04d}.png"
+        fig.savefig(path, dpi=100, facecolor="#0b0b16")
+        plt.close(fig)
+        self.frame_idx += 1
+        return path
 
     def render_frame(self):
+        if self.mode != "compare":
+            return self._render_single()
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -154,13 +204,13 @@ def main(argv=None):
 
     viewer = PrecisionCompareViewer(args.stars, args.seed,
                                     steps_per_frame=args.ticks_per_frame,
-                                    out_dir=args.output)
+                                    out_dir=args.output, mode=args.mode)
     t0 = time.time()
     for f in range(args.frames):
         viewer.step()
         path = viewer.render_frame()
         g = viewer.history["ghost"][-1]
-        print(f"  frame {f}: tick {viewer.clean.tick}, ghost force "
+        print(f"  frame {f}: tick {viewer.tick}, ghost force "
               f"{g:+.2f}% -> {path}")
     print(f"\n{args.frames} frames in {time.time() - t0:.1f}s; final ghost "
           f"force {viewer.history['ghost'][-1]:+.2f}%")
