@@ -82,7 +82,10 @@ def run_compare(args) -> dict:
           f"({len(jax.devices())} device(s): {jax.devices()[0].device_kind})")
 
     mode_strings = [s.strip() for s in args.compare.split(",")]
-    modes = [get_mode_from_string(s) for s in mode_strings]
+    try:
+        modes = [get_mode_from_string(s, strict=True) for s in mode_strings]
+    except ValueError as e:
+        raise SystemExit(f"error: {e}")
     print("\nPrecision modes to compare:")
     for mode in modes:
         print(f"  - {mode.value}: {describe_mode(mode)}")

@@ -51,3 +51,34 @@ def energy_drift_pct(initial: float, final: float) -> float:
     if abs(initial) < 1e-10:
         return 0.0
     return (final - initial) / abs(initial) * 100.0
+
+
+def observer_effect_rates(positions, velocities, masses, num_ticks: int,
+                          chunk: int = 10, repeats: int = 2):
+    """Tick rates with and without per-chunk host 'observation' transfers
+    — shared by breakout_tests (lazy loading) and red_team_proof
+    (observer effect). Warms the exact chunk-sized program first so
+    compilation never lands inside the timed window."""
+    import time
+
+    import jax
+
+    from nbody_tpu.ops.precision import Precision
+
+    def run(observe: bool) -> float:
+        sim = DirectSimulation(positions, velocities, masses,
+                               precision=Precision.FLOAT32)
+        sim.step(chunk)  # warm the chunk-sized program
+        jax.block_until_ready(sim.state.positions)
+        t0 = time.perf_counter()
+        for _ in range(num_ticks // chunk):
+            sim.step(chunk)
+            if observe:
+                _ = np.asarray(sim.positions)
+            else:
+                jax.block_until_ready(sim.state.positions)
+        return num_ticks / (time.perf_counter() - t0)
+
+    rate_free = max(run(False) for _ in range(repeats))
+    rate_obs = max(run(True) for _ in range(repeats))
+    return rate_free, rate_obs

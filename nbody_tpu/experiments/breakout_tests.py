@@ -69,21 +69,11 @@ def lazy_loading_test(num_stars: int = 500, num_ticks: int = 300,
     print("\n--- BREAKOUT 2: LAZY LOADING (observer effect) ---")
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), num_stars)
 
-    def run(observe: bool) -> float:
-        sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
-        sim.step(10)
-        jax.block_until_ready(sim.state.positions)
-        t0 = time.perf_counter()
-        for _ in range(num_ticks // 10):
-            sim.step(10)
-            if observe:
-                _ = np.asarray(sim.positions)  # device->host "observation"
-            else:
-                jax.block_until_ready(sim.state.positions)
-        return time.perf_counter() - t0
+    from nbody_tpu.experiments._common import observer_effect_rates
 
-    t_unobserved = min(run(False) for _ in range(2))
-    t_observed = min(run(True) for _ in range(2))
+    rate_free, rate_obs = observer_effect_rates(pos, vel, m, num_ticks)
+    t_unobserved = num_ticks / rate_free
+    t_observed = num_ticks / rate_obs
     overhead = (t_observed / t_unobserved - 1.0) * 100.0
     evidence = overhead > 5.0
     print(f"  unobserved {t_unobserved:.3f}s, observed {t_observed:.3f}s "
@@ -144,20 +134,24 @@ def memory_leak_test(max_iters: int = 200) -> dict:
     @jax.jit
     def cascade(x, steps):
         def body(i, v):
-            return (v / 2.0) * 2.0000001  # precision cascade
+            # inexact round trip: /3 then *3 rounds twice per iteration
+            # (a *2.0000001 factor would round back to exactly 2.0 in f32
+            # and the probe would be inert)
+            return (v / 3.0) * 3.0
         return jax.lax.fori_loop(0, steps, body, x)
 
     results = {}
-    # precision cascade: f32 value halved and re-inflated until it drifts
-    x = jnp.float32(1.0)
+    # precision cascade: how many round trips until the drift random walk
+    # crosses 1e-6 relative?
     drifted_at = None
-    v = x
+    v = jnp.float32(1.0)
     for i in range(max_iters):
         v = cascade(v, 10)
-        if abs(float(v) - 1.0) > 1e-3:
+        if abs(float(v) - 1.0) > 1e-6:
             drifted_at = (i + 1) * 10
             break
     results["precision_cascade_drift_iter"] = drifted_at
+    results["precision_cascade_final_drift"] = abs(float(v) - 1.0)
 
     # overflow: x *= 2 until inf
     v = jnp.float32(1.0)

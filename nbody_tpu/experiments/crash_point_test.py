@@ -42,8 +42,13 @@ class CrashReport:
 
 
 def detect_crash(positions, velocities, prev_positions, energy, prev_energy,
-                 dt: float, tick: int) -> Optional[CrashReport]:
-    """Six crash classes (reference: crash_point_test.py:46-139)."""
+                 dt: float, tick: int,
+                 ticks_elapsed: int = 1) -> Optional[CrashReport]:
+    """Six crash classes (reference: crash_point_test.py:46-139).
+
+    ``ticks_elapsed`` is the number of ticks since prev_positions; the
+    teleportation threshold scales with it (the reference checks every
+    single tick, this engine checks per fused chunk)."""
     pos = np.asarray(positions)
     vel = np.asarray(velocities)
     if np.isnan(pos).any() or np.isnan(vel).any():
@@ -56,7 +61,8 @@ def detect_crash(positions, velocities, prev_positions, energy, prev_energy,
     if prev_positions is not None:
         disp = np.sqrt(((pos - np.asarray(prev_positions)) ** 2).sum(-1))
         max_disp = float(disp.max())
-        expected = float(np.abs(vel).max()) * dt * 10.0
+        max_speed_now = float(np.sqrt((vel ** 2).sum(-1)).max())
+        expected = max_speed_now * dt * ticks_elapsed * 10.0
         if max_disp > expected and max_disp > 1.0:
             return CrashReport("teleport", max_disp, "TELEPORTATION", tick,
                                f"Object moved {max_disp:.2f} in one tick "
@@ -103,7 +109,8 @@ def _run_until_crash(pos, vel, m, quantizer, cfg: SimConfig,
         sim.step(check)
         energy = sim.get_total_energy()
         crash = detect_crash(sim.positions, sim.velocities, prev_pos,
-                             energy, prev_energy, cfg.dt, tick + check)
+                             energy, prev_energy, cfg.dt, tick + check,
+                             ticks_elapsed=check)
         if crash:
             return crash
     return None

@@ -48,7 +48,10 @@ def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
             pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed),
                                              num_stars=n)
             sim = DirectSimulation(pos, vel, m, precision=precision)
-            sim.step(5)  # warm up / compile
+            # warm the EXACT program measured below (num_steps is a
+            # static jit arg: a different count compiles a different
+            # program and the timed region would include compilation)
+            sim.step(ticks_per_size)
             jax.block_until_ready(sim.state.positions)
 
             prof = DeviceProfiler(sample_interval_ms=50,

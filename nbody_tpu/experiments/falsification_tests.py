@@ -121,10 +121,14 @@ def test_bullet_cluster(num_stars: int = 1000, num_ticks: int = 800,
     cfg = SimConfig(softening=0.2)
 
     results = {}
-    for mode_name, levels in (("float64", 1000000), ("int4", 16)):
+    for mode_name, precision in (("float64", "float64"),
+                                 ("int4", Quantizer(Precision.CUSTOM,
+                                                    custom_levels=16))):
         print(f"\n  Running collision with {mode_name} precision...")
+        # float64 = the genuine double-double baseline (the reference's
+        # 1e6-level stand-in was effectively float32)
         sim = DirectSimulation(positions, velocities, masses,
-                               precision=_quantizer_for_levels(levels),
+                               precision=precision,
                                cfg=cfg, quantize_forces=False)
         history = {"com": [], "grav_center": [], "ticks": []}
         for start in range(0, num_ticks, 50):

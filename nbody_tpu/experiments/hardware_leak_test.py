@@ -40,7 +40,7 @@ def _workload_idle(duration_s: float):
 def _make_sim_workload(precision, num_stars, seed):
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), num_stars)
     sim = DirectSimulation(pos, vel, m, precision=precision)
-    sim.step(5)  # compile
+    sim.step(20)  # warm the exact 20-step program the loop measures
     jax.block_until_ready(sim.state.positions)
 
     def run(duration_s: float):

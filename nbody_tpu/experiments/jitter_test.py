@@ -54,13 +54,16 @@ def nested_galaxies(key, stars_per_level: int = 300, levels: int = 3):
 def measure_jitter(pos, vel, m, dt: float, total_time: float,
                    num_samples: int = 30):
     """Second-difference jitter of sampled trajectories
-    (reference: jitter_test.py:122-159): run total_time at step dt,
-    sampling positions/velocities num_samples times; jitter = mean |2nd
-    difference| of the samples (acceleration noise proxy)."""
-    num_ticks = max(int(total_time / dt), num_samples)
+    (reference: jitter_test.py:122-159): run the SAME physical duration
+    at step dt, sample num_samples times at (as nearly as possible) equal
+    physical spacing, and normalise the second differences by the sample
+    spacing squared — an acceleration-noise proxy comparable across dt
+    (the raw |d2 P| scales like spacing^2 for perfect physics)."""
+    num_ticks = max(int(round(total_time / dt)), num_samples)
     interval = max(num_ticks // num_samples, 1)
+    sample_dt = interval * dt  # physical spacing between samples
     sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
-                           cfg=SimConfig(dt=dt))
+                           dt=dt, dynamic_params=True)
     pos_frames, vel_frames = [], []
     for _ in range(num_samples):
         sim.step(interval)
@@ -68,8 +71,8 @@ def measure_jitter(pos, vel, m, dt: float, total_time: float,
         vel_frames.append(np.asarray(sim.velocities))
     P = np.stack(pos_frames)   # (S, N, D)
     V = np.stack(vel_frames)
-    pos_jitter = float(np.abs(np.diff(P, n=2, axis=0)).mean())
-    vel_jitter = float(np.abs(np.diff(V, n=2, axis=0)).mean())
+    pos_jitter = float(np.abs(np.diff(P, n=2, axis=0)).mean()) / sample_dt ** 2
+    vel_jitter = float(np.abs(np.diff(V, n=2, axis=0)).mean()) / sample_dt ** 2
     return pos_jitter, vel_jitter
 
 

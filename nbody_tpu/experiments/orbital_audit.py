@@ -108,9 +108,11 @@ def elements_to_state(el: dict):
     return R @ rp, R @ vp
 
 
-def kepler_j2_reference(el: dict, duration_s: float, num_samples: int):
-    """Host reference ephemeris: Keplerian motion + J2 secular drift of
-    RAAN/argp (the SGP4 stand-in; dominant terms for LEO/MEO)."""
+def kepler_j2_reference(el: dict, times_s):
+    """Host reference ephemeris at the given sample times: Keplerian
+    motion + J2 secular drift of RAAN/argp (the SGP4 stand-in; dominant
+    terms for LEO/MEO). Taking explicit times keeps the comparison
+    aligned with the device propagator's sample instants."""
     a, e = el["semi_major_axis_km"], el["eccentricity"]
     i = math.radians(el["inclination_deg"])
     n = math.sqrt(MU_EARTH / a ** 3)
@@ -119,8 +121,7 @@ def kepler_j2_reference(el: dict, duration_s: float, num_samples: int):
     raan_dot = -fac * math.cos(i)
     argp_dot = fac * (2 - 2.5 * math.sin(i) ** 2)
     out = []
-    for k in range(num_samples):
-        t = duration_s * k / max(num_samples - 1, 1)
+    for t in times_s:
         el_t = dict(el)
         el_t["mean_anomaly_deg"] = (el["mean_anomaly_deg"]
                                     + math.degrees(n * t)) % 360.0
@@ -219,8 +220,10 @@ def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0) -> dict:
         pos0, vel0 = elements_to_state(el)
         num_steps = int(duration_s / dt)
         sample_every = max(num_steps // 50, 1)
-        ref = kepler_j2_reference(el, duration_s,
-                                  num_steps // sample_every)
+        n_samples = num_steps // sample_every
+        # device samples land at t = (j+1) * sample_every * dt exactly
+        times = [(j + 1) * sample_every * dt for j in range(n_samples)]
+        ref = kepler_j2_reference(el, times)
         row = {"elements": el}
         for mode in (Precision.FLOAT32, Precision.FLOAT16,
                      Precision.INT4_SIM):

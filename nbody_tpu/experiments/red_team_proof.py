@@ -43,6 +43,7 @@ def temporal_jitter_test(num_stars: int, num_ticks: int, seed: int) -> dict:
     print("\n--- RSI 1: TEMPORAL JITTER ---")
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), num_stars)
     sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
+    sim.step(1)  # warm the EXACT single-tick program measured below
     sim.step(10)
     jax.block_until_ready(sim.state.positions)
     times = []
@@ -98,21 +99,9 @@ def observer_effect_test(num_stars: int, num_ticks: int, seed: int) -> dict:
     print("\n--- RSI 4: OBSERVER EFFECT ---")
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), num_stars)
 
-    def run(observe: bool) -> float:
-        sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
-        sim.step(10)
-        jax.block_until_ready(sim.state.positions)
-        t0 = time.perf_counter()
-        for _ in range(num_ticks // 10):
-            sim.step(10)
-            if observe:
-                _ = np.asarray(sim.positions)
-            else:
-                jax.block_until_ready(sim.state.positions)
-        return num_ticks / (time.perf_counter() - t0)
+    from nbody_tpu.experiments._common import observer_effect_rates
 
-    rate_free = max(run(False) for _ in range(2))
-    rate_obs = max(run(True) for _ in range(2))
+    rate_free, rate_obs = observer_effect_rates(pos, vel, m, num_ticks)
     slowdown = (1.0 - rate_obs / rate_free) * 100.0
     print(f"  unobserved {rate_free:.0f} ticks/s, observed {rate_obs:.0f} "
           f"ticks/s -> slowdown {slowdown:+.1f}%")

@@ -75,10 +75,18 @@ _DESCRIPTIONS = {
 }
 
 
-def get_mode_from_string(mode_str: str) -> Precision:
+def get_mode_from_string(mode_str: str, strict: bool = False) -> Precision:
     """String -> Precision, accepting the reference's aliases
-    (reference: quantization.py:160-175)."""
-    return _ALIASES.get(mode_str.strip().lower(), Precision.FLOAT64)
+    (reference: quantization.py:160-175). Unknown strings fall back to
+    FLOAT64 (reference behavior); strict=True raises instead, for CLI
+    surfaces where a typo silently running the slow emulated baseline
+    would be misleading."""
+    key = mode_str.strip().lower()
+    if strict and key not in _ALIASES:
+        raise ValueError(
+            f"unknown precision mode {mode_str!r}; valid: "
+            f"{sorted(set(_ALIASES))}")
+    return _ALIASES.get(key, Precision.FLOAT64)
 
 
 def describe_mode(mode: Precision) -> str:
