@@ -42,3 +42,20 @@ def test_float32_drift_matches_reference():
     ref_d, _, _ = run_reference(pos, vel, m, "float32", 200, 100)
     our_d, _, _ = run_ours(pos, vel, m, "float32", 200, 100)
     np.testing.assert_allclose(our_d, ref_d, atol=0.01)
+
+
+def test_bf16_f16_drift_matches_reference():
+    """bf16/f16 cast modes also track the torch reference trajectories."""
+    import jax
+
+    from tools.reference_parity import run_ours, run_reference
+    from nbody_tpu.models.galaxy import create_disk_galaxy
+
+    pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(3), num_stars=150)
+    import numpy as np
+
+    pos, vel, m = map(np.asarray, (pos, vel, m))
+    for mode in ("bfloat16", "float16"):
+        ref_d, _, _ = run_reference(pos, vel, m, mode, 150, 50)
+        our_d, _, _ = run_ours(pos, vel, m, mode, 150, 50)
+        np.testing.assert_allclose(our_d, ref_d, atol=0.01)
