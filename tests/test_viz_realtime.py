@@ -105,3 +105,15 @@ def test_run_all_subset(tmp_path):
                             "--output", str(tmp_path)])
     assert summary["sparc_test"]["status"] == "ok"
     assert (tmp_path / "run_all_summary.json").exists()
+
+
+def test_dashboard3d_render(tmp_path):
+    from nbody_tpu.engines.dashboard3d import Dashboard3D
+    from nbody_tpu.engines.universe3d import Universe3D
+
+    u = Universe3D(num_particles=64, start_redshift=10.0,
+                   precision="float32")
+    u.step(1.0, 2)
+    dash = Dashboard3D(u, str(tmp_path))
+    path = dash.render_frame()
+    assert path.stat().st_size > 10_000
