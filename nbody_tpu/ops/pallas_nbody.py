@@ -155,14 +155,18 @@ def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
         d2 = jnp.where(valid, d2, 0.0)
         return jnp.maximum(best, jnp.max(d2))
 
-    best = jax.lax.fori_loop(0, num_j, j_chunk, jnp.float32(0.0))
+    # dist^2 is symmetric: only the upper triangle is needed, so each
+    # receiver block starts at the source chunk containing its own row
+    # range (halves the pass on average).
+    jc_start = i0 // block_j
+    best = jax.lax.fori_loop(jc_start, num_j, j_chunk, jnp.float32(0.0))
     out_ref[pl.program_id(0), 0] = best
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_i", "block_j",
                                              "interpret"))
 def pallas_max_dist_sq(positions, cfg: SimConfig,
-                       block_i: int = 256, block_j: int = 2048,
+                       block_i: int = 1024, block_j: int = 4096,
                        interpret: bool | None = None, softening_sq=None):
     """Global max softened pairwise dist^2, as a compute-bound Pallas pass.
 
