@@ -154,11 +154,24 @@ def fast_state_entropy(positions, velocities) -> EntropyMetrics:
     )
 
 
-def information_bits(positions, velocities, level: int = 9) -> int:
+def information_bits(positions, velocities, level: int = 9,
+                     fast_threshold_floats: int = 50_000) -> int:
     """Compressed size in bits — Landauer probe's Kolmogorov proxy
-    (reference: universe_2d.py:689-702)."""
-    raw = (np.asarray(positions, np.float32).tobytes()
-           + np.asarray(velocities, np.float32).tobytes())
+    (reference: universe_2d.py:689-702).
+
+    Above ``fast_threshold_floats`` state elements the native single-pass
+    entropy estimate replaces zlib level 9 (which costs ~100 ms per call
+    at 100k particles and sat inside the realtime engine's pump loop);
+    the Landauer verdict only consumes *differences* in bits, which both
+    proxies track."""
+    pos = np.asarray(positions, np.float32)
+    vel = np.asarray(velocities, np.float32)
+    raw = pos.tobytes() + vel.tobytes()
+    if pos.size + vel.size > fast_threshold_floats:
+        from nbody_tpu import native
+
+        bits_per_byte, _ = native.byte_entropy(raw)
+        return int(len(raw) * bits_per_byte)
     return len(zlib.compress(raw, level)) * 8
 
 

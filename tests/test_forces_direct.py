@@ -225,3 +225,48 @@ def test_run_with_history_remainder_ticks():
     snaps, frames = sim.run_with_history(250, snapshot_interval=100)
     assert int(sim.state.tick) == 250
     assert int(snaps.tick[-1]) == 200  # snapshots at interval multiples
+
+
+def test_momentum_conservation_f32():
+    """Pairwise symmetric forces: total momentum drift stays tiny."""
+    pos, vel, m = _ics(256)
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
+    p0 = np.asarray(jnp.sum(sim.velocities * sim.masses[:, None], axis=0))
+    sim.step(300)
+    p1 = np.asarray(jnp.sum(sim.velocities * sim.masses[:, None], axis=0))
+    # velocities are O(0.1), N=256: drift should be far below 1e-2
+    assert np.abs(p1 - p0).max() < 1e-2
+
+
+def test_angular_momentum_conservation_f32():
+    """Central-force dynamics conserves total L_z."""
+    pos, vel, m = _ics(256)
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
+
+    def lz(s):
+        p = np.asarray(s.positions)
+        v = np.asarray(s.velocities)
+        mm = np.asarray(s.masses)
+        return float((mm * (p[:, 0] * v[:, 1] - p[:, 1] * v[:, 0])).sum())
+
+    l0 = lz(sim)
+    sim.step(300)
+    l1 = lz(sim)
+    assert abs(l1 - l0) / abs(l0) < 1e-3
+
+
+def test_int4_breaks_momentum_symmetry():
+    """Force quantization on acc components breaks Newton's third law —
+    int4 momentum drift must exceed f32's (the reference's momentum-glitch
+    mechanism)."""
+    pos, vel, m = _ics(256)
+    drifts = {}
+    for mode in (Precision.FLOAT32, Precision.INT4_SIM):
+        sim = DirectSimulation(pos, vel, m, precision=mode)
+        p0 = np.asarray(jnp.sum(sim.velocities * sim.masses[:, None],
+                                axis=0))
+        sim.step(300)
+        p1 = np.asarray(jnp.sum(sim.velocities * sim.masses[:, None],
+                                axis=0))
+        drifts[mode] = float(np.abs(p1 - p0).max())
+    assert drifts[Precision.INT4_SIM] > drifts[Precision.FLOAT32]
