@@ -108,6 +108,13 @@ def write_report(u: Universe2D, path: Path):
         "clustering": u.get_clustering(),
         "glitch_count": u.glitch_detector.get_glitch_count(),
         "glitch_summary": u.glitch_detector.get_glitch_summary(),
+        # the paper's headline observable: per-step energy
+        # non-conservation magnitude vs epoch (paper: ~2.7% at z=10
+        # growing to 119.4% at z~0.05)
+        "energy_nonconservation_curve": [
+            {"redshift": ev.redshift, "magnitude_pct": ev.magnitude * 100}
+            for ev in u.glitch_detector.events
+            if ev.glitch_type == "energy_jump"],
         "exploit_summary": u.exploit_engine.get_exploit_summary(),
         "energy_first": u.history["energy"][0] if u.history["energy"] else None,
         "energy_last": u.history["energy"][-1] if u.history["energy"] else None,
