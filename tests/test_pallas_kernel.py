@@ -92,3 +92,52 @@ def test_pallas_3d_matches_dense():
     a_ref = forces.dense_accelerations(pos, m, q, CFG)
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_tiny_n():
+    """N far below the block sizes exercises heavy padding."""
+    pos, vel, m = _ics(17)
+    q = Quantizer(Precision.FLOAT32)
+    a_pal = pallas_accelerations(pos, m, q, CFG, block_i=128, block_j=256)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_3d_int4():
+    """3-D + int-sim grid bounds together."""
+    key = jax.random.PRNGKey(9)
+    pos = jax.random.normal(key, (200, 3)) * 5.0
+    m = jnp.ones(200)
+    q = Quantizer(Precision.INT4_SIM)
+    a_pal = np.asarray(pallas_accelerations(pos, m, q, CFG,
+                                            block_i=128, block_j=256))
+    a_ref = np.asarray(forces.dense_accelerations(pos, m, q, CFG))
+    scale = np.abs(a_ref).max()
+    frac_bad = (np.abs(a_pal - a_ref) > 1e-4 * scale).mean()
+    assert frac_bad < 0.02
+    assert np.isfinite(a_pal).all()
+
+
+def test_pallas_nondivisible_blocks():
+    """Block pairs where neither divides the other must still cover all
+    rows and chunks (lcm padding regression)."""
+    pos, vel, m = _ics(300)
+    q = Quantizer(Precision.FLOAT32)
+    a_pal = pallas_accelerations(pos, m, q, CFG, block_i=96, block_j=256)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_dynamic_softening_matches_static():
+    pos, vel, m = _ics(200)
+    q = Quantizer(Precision.INT4_SIM)
+    import jax.numpy as jnp2
+
+    a_dyn = pallas_accelerations(pos, m, q, CFG, block_i=128, block_j=256,
+                                 softening_sq=jnp2.float32(CFG.softening_sq))
+    a_static = pallas_accelerations(pos, m, q, CFG, block_i=128,
+                                    block_j=256)
+    np.testing.assert_allclose(np.asarray(a_dyn), np.asarray(a_static),
+                               rtol=1e-5, atol=1e-6)
