@@ -22,6 +22,7 @@ cheaper ring pass (max reduction) followed by a ``jax.lax.pmax``.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
 from nbody_tpu.models.state import ParticleState
+from nbody_tpu.ops import doubledouble as dd
 from nbody_tpu.ops.precision import (
     Quantizer,
     dist_sq_log_bounds,
@@ -38,6 +40,23 @@ from nbody_tpu.ops.precision import (
 )
 
 AXIS = "shards"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class EnergyStream(NamedTuple):
+    """Per-chunk on-device energy diagnostics from a sharded run.
+
+    Matches the reference's headline observable — total (KE+PE) energy
+    drift (reference: simulation.py:170-196) — computed entirely under the
+    mesh: KE as a psum of local compensated sums, PE via a second ppermute
+    ring pass (see ring_potential_energy)."""
+
+    kinetic: jnp.ndarray    # (n_chunks,)
+    potential: jnp.ndarray  # (n_chunks,)
+    total: jnp.ndarray      # (n_chunks,)
 
 
 def make_particle_mesh(n_devices: int | None = None) -> Mesh:
@@ -69,10 +88,14 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
 
         # softening > 0 makes receiver/source coincidences contribute
         # exactly zero, so no id mask is needed (see ops/pallas_nbody.py).
+        # Small-shard block sizes are rounded up to the TPU tile quanta
+        # (sublane 8 / lane 128) — Mosaic rejects ragged blocks on real
+        # hardware; pallas_pair_force pads receivers/sources to the block.
         return pallas_pair_force(xi, xj, gm_j, q, cfg,
                                  log_lo=log_lo, log_hi=log_hi,
-                                 block_i=min(512, max(xi.shape[0], 8)),
-                                 block_j=min(2048, max(xj.shape[0], 128)))
+                                 block_i=min(512, _round_up(xi.shape[0], 8)),
+                                 block_j=min(2048,
+                                             _round_up(xj.shape[0], 128)))
     diff = xj[None, :, :] - xi[:, None, :]  # (B, B, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -101,6 +124,64 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg):
     best, _, _ = jax.lax.fori_loop(
         0, axis_size, step, (jnp.float32(0.0), pos_local, ids_local))
     return jax.lax.pmax(best, AXIS) + cfg.softening_sq
+
+
+def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
+                   row_block: int = 1024):
+    """Pairwise potential energy via the same ppermute ring, per device.
+
+    U = -G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2)
+    (reference: simulation.py:176-192). Every unordered pair is visited
+    twice across the ring sweep (once per direction), so the full masked
+    sum is halved — the same discipline as the single-device
+    diagnostics.metrics.potential_energy. Padded particles carry zero mass
+    and contribute nothing. Accumulation is compensated (double-double
+    carry over per-tile compensated sums). Returns the replicated global
+    scalar U (already psum'd).
+    """
+    axis_size = jax.lax.psum(1, AXIS)
+    b, dim = pos_local.shape
+    rb = min(row_block, b)
+    pad = (-b) % rb
+    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
+    # Padded receiver rows get zero mass so they drop out of the sum.
+    m_i = jnp.pad(m_local, (0, pad))
+    # Padded receiver ids collide with nothing (they sit past every real
+    # and every shard-padding id), keeping the self-pair mask exact.
+    ids_i = jnp.pad(ids_local, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+    row_blocks = (pos_i.reshape(-1, rb, dim), m_i.reshape(-1, rb),
+                  ids_i.reshape(-1, rb))
+
+    def ring_step(s, carry):
+        acc, pos_j, m_j, ids_j = carry
+
+        def tile(args):
+            p_i, mm_i, ii = args
+            diff = pos_j[None, :, :] - p_i[:, None, :]  # (rb, B, D)
+            d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+            pair = mm_i[:, None] * m_j[None, :] * jax.lax.rsqrt(d2)
+            pair = jnp.where(ii[:, None] == ids_j[None, :], 0.0, pair)
+            s_dd = dd.dd_sum_chunked(pair.reshape(-1))
+            return s_dd.hi + s_dd.lo
+
+        if row_blocks[0].shape[0] == 1:
+            parts = tile((row_blocks[0][0], row_blocks[1][0],
+                          row_blocks[2][0]))[None]
+        else:
+            parts = jax.lax.map(tile, row_blocks)
+        step_sum = dd.dd_sum(parts)
+        acc = dd.dd_add(acc, step_sum)
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
+        m_j = jax.lax.ppermute(m_j, AXIS, perm)
+        ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
+        return acc, pos_j, m_j, ids_j
+
+    acc0 = dd.DD(jnp.float32(0.0), jnp.float32(0.0))
+    acc, _, _, _ = jax.lax.fori_loop(
+        0, axis_size, ring_step, (acc0, pos_local, m_local, ids_local))
+    local = acc.hi + acc.lo
+    return -0.5 * cfg.G * jax.lax.psum(local, AXIS)
 
 
 def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
@@ -161,15 +242,21 @@ def _pad_to_shards(x, n_shards, fill=0.0):
 
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
-                                    "num_steps", "steps_per_chunk"))
+                                    "num_steps", "steps_per_chunk",
+                                    "gather"))
 def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       mesh: Mesh, num_steps: int,
                       quantize_forces: bool = False,
-                      steps_per_chunk: int = 0):
+                      steps_per_chunk: int = 0,
+                      gather: bool = True):
     """Sharded leapfrog run: scan over ticks with the ring force inside.
 
-    Returns (final ParticleState (unsharded logical view), per-chunk total
-    energies). ``steps_per_chunk=0`` disables energy snapshots.
+    Returns (final ParticleState, per-chunk EnergyStream of
+    kinetic/potential/total energies — the reference's headline drift
+    observable, simulation.py:170-196, computed under the mesh).
+    ``steps_per_chunk=0`` disables energy snapshots. ``gather=False``
+    leaves the returned state sharded and padded to the shard boundary
+    (no per-call all-gather; padded rows carry zero mass).
     """
     n_total, dim = state.positions.shape
     n_shards = mesh.shape[AXIS]
@@ -203,46 +290,59 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                                     length=max(min(steps_per_chunk,
                                                    num_steps), 1))
             p, v, a = carry
-            # On-device sharded energy: KE via psum; PE via a ring pass is
-            # omitted here (KE tracks heating, the quantity the realtime
-            # monitors consume); full PE uses ring_potential_energy.
+            # On-device sharded total energy (the reference's headline
+            # observable, simulation.py:170-196): KE via a psum of local
+            # compensated sums, PE via a second ring pass.
             valid = (ids_l < n_total).astype(jnp.float32)
-            ke_l = 0.5 * jnp.sum(m_l * valid *
-                                 jnp.sum(v * v, axis=-1))
-            ke = jax.lax.psum(ke_l, AXIS)
-            return carry, ke
+            v_sq = jnp.sum(v * v, axis=-1)
+            ke_dd = dd.dd_dot_f32(m_l * valid, v_sq)
+            ke = 0.5 * jax.lax.psum(ke_dd.hi + ke_dd.lo, AXIS)
+            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg)
+            return carry, EnergyStream(ke, pe, ke + pe)
 
         if steps_per_chunk:
             spc = min(steps_per_chunk, num_steps)
             n_chunks = num_steps // spc
             remainder = num_steps - n_chunks * spc
-            carry, kes = jax.lax.scan(chunk, (pos_l, vel_l, acc_l), None,
-                                      length=n_chunks)
+            carry, energies = jax.lax.scan(chunk, (pos_l, vel_l, acc_l),
+                                           None, length=n_chunks)
             if remainder:  # run the tail ticks (no snapshot for them)
                 carry, _ = jax.lax.scan(one_step, carry, None,
                                         length=remainder)
         else:
             carry, _ = jax.lax.scan(one_step, (pos_l, vel_l, acc_l), None,
                                     length=num_steps)
-            kes = jnp.zeros((1,), jnp.float32)
+            z = jnp.zeros((1,), jnp.float32)
+            energies = EnergyStream(z, z, z)
         p, v, a = carry
-        return p, v, a, kes
+        return p, v, a, energies
 
     fn = shard_map(
         device_fn, mesh=mesh,
         in_specs=(pspec, pspec, pspec, pspec, pspec),
-        out_specs=(pspec, pspec, pspec, P()),
+        out_specs=(pspec, pspec, pspec,
+                   EnergyStream(P(), P(), P())),
         check_vma=False,
     )
-    pos_out, vel_out, acc_out, kes = fn(pos, vel, gmass, masses, ids)
+    pos_out, vel_out, acc_out, energies = fn(pos, vel, gmass, masses, ids)
 
-    def _trim(x):
-        # Replicate (cheap all-gather of N*D floats) before the tail slice:
-        # slicing a shard-misaligned boundary directly is ill-sharded. The
-        # mesh axes are Explicit-typed, so use reshard (a sharding
-        # constraint would be a no-op on an explicitly sharded value).
-        x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
-        return x[:n_total]
+    if gather:
+        def _trim(x):
+            # Replicate (cheap all-gather of N*D floats) before the tail
+            # slice: slicing a shard-misaligned boundary directly is
+            # ill-sharded. The mesh axes are Explicit-typed, so use reshard
+            # (a sharding constraint would be a no-op on an explicitly
+            # sharded value).
+            x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
+            return x[:n_total]
+    else:
+        # Keep the state sharded (padded to the shard boundary): at 1M+
+        # particles the per-call all-gather dominates, and callers that
+        # chain run_steps_sharded calls or export rarely should gather
+        # only at the end (export_sharded_state / a final gather=True
+        # call). Padded rows carry zero mass and zero force.
+        def _trim(x):
+            return x
 
     new_state = ParticleState(
         positions=_trim(pos_out),
@@ -252,7 +352,32 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
         accelerations=_trim(acc_out),
         tick=state.tick + num_steps,
     )
-    return new_state, kes
+    return new_state, energies
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
+    """Sharded pairwise potential energy (library entry).
+
+    Multi-chip equivalent of diagnostics.metrics.potential_energy
+    (reference semantics: simulation.py:176-192): particles sharded over
+    the mesh, pair terms accumulated by a ppermute ring with compensated
+    sums, halved full-matrix discipline, psum'd to a replicated scalar.
+    """
+    n_total = positions.shape[0]
+    n_shards = mesh.shape[AXIS]
+    pos = _pad_to_shards(positions, n_shards)
+    m = _pad_to_shards(masses, n_shards)
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+
+    fn = shard_map(
+        functools.partial(_ring_pe_local, n_total=n_total, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(pos, m, ids)
 
 
 def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,

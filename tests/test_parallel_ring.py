@@ -67,14 +67,69 @@ def test_sharded_run_energy_stream(mesh8):
     pos, vel, m = _ics(256)
     st = make_state(pos, vel, m)
     q = Quantizer(Precision.FLOAT32)
-    out, kes = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=20,
-                                      steps_per_chunk=5)
-    assert kes.shape == (4,)
-    assert np.isfinite(np.asarray(kes)).all()
-    # KE should be in the same ballpark as the direct engine's
-    from nbody_tpu.diagnostics.metrics import kinetic_energy
+    out, es = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=20,
+                                     steps_per_chunk=5)
+    assert es.kinetic.shape == (4,)
+    assert es.total.shape == (4,)
+    for arr in es:
+        assert np.isfinite(np.asarray(arr)).all()
+    np.testing.assert_allclose(np.asarray(es.total),
+                               np.asarray(es.kinetic + es.potential),
+                               rtol=1e-6)
+    # The stream must agree with the single-device diagnostics on the
+    # final state.
+    from nbody_tpu.diagnostics.metrics import kinetic_energy, potential_energy
     ke_direct = float(kinetic_energy(out.velocities, out.masses))
-    np.testing.assert_allclose(float(kes[-1]), ke_direct, rtol=1e-3)
+    pe_direct = float(potential_energy(out.positions, out.masses, CFG))
+    np.testing.assert_allclose(float(es.kinetic[-1]), ke_direct, rtol=1e-3)
+    np.testing.assert_allclose(float(es.potential[-1]), pe_direct,
+                               rtol=1e-3)
+
+
+def test_ring_potential_energy_matches_single_device(mesh8):
+    """Sharded PE (ring pass) vs the single-device tiled reduction,
+    including the unaligned-N padding path."""
+    from nbody_tpu.diagnostics.metrics import potential_energy
+
+    for n in (256, 250):
+        pos, vel, m = _ics(n)
+        pe_ring = float(ring.ring_potential_energy(pos, m, CFG, mesh8))
+        pe_ref = float(potential_energy(pos, m, CFG))
+        np.testing.assert_allclose(pe_ring, pe_ref, rtol=1e-5)
+
+
+def test_sharded_total_energy_drift_matches_single_device(mesh8):
+    """The headline observable: total-energy drift trajectories from the
+    sharded path must match the single-device engine
+    (reference semantics: simulation.py:176-196)."""
+    pos, vel, m = _ics(256)
+    q = Quantizer(Precision.FLOAT32)
+    _, es = ring.run_steps_sharded(make_state(pos, vel, m), q, CFG, mesh8,
+                                   num_steps=20, steps_per_chunk=5)
+
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
+                           force_impl="dense")
+    e0 = sim.get_total_energy()
+    singles = []
+    for _ in range(4):
+        sim.step(5)
+        singles.append(sim.get_total_energy())
+    np.testing.assert_allclose(np.asarray(es.total), np.asarray(singles),
+                               rtol=2e-4, atol=2e-4 * abs(e0))
+
+
+def test_sharded_run_gather_false_keeps_sharded_state(mesh8):
+    pos, vel, m = _ics(256)
+    st = make_state(pos, vel, m)
+    q = Quantizer(Precision.FLOAT32)
+    out_s, _ = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=5,
+                                      gather=False)
+    out_g, _ = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=5)
+    # Sharded output: one shard per device, same physics after gather.
+    assert len(out_s.positions.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_s.positions)[:256],
+                               np.asarray(out_g.positions),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_ring_force_pallas_tile(mesh8):
