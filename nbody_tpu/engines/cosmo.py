@@ -33,7 +33,12 @@ from nbody_tpu.config import PLANCK18, Cosmology
 from nbody_tpu.diagnostics import glitch as glitch_lib
 from nbody_tpu.engines.epochs import EPOCHS, get_current_epoch
 from nbody_tpu.ops import pm
-from nbody_tpu.ops.precision import Quantizer, describe_mode, quantize_force
+from nbody_tpu.ops.precision import (
+    Precision,
+    Quantizer,
+    describe_mode,
+    quantize_force,
+)
 
 logger = logging.getLogger("nbody_tpu.cosmo")
 
@@ -153,7 +158,10 @@ def pm_accelerations(positions, masses, q: Quantizer, cfg: PMConfig,
     grids = pm.poisson_accel_grids(density, cfg.box_size, cfg.n_grid, q,
                                    cfg.G, scale, cfg.dim)
     acc = gather(grids, positions, cfg.n_grid, cfg.box_size)
-    if quantize_forces and q.is_int:
+    # Reference PM engines apply quantize_force only for INT4/INT8
+    # (universe_2d.py:1071-1072), NOT for CUSTOM level counts — gate on
+    # the mode, not q.is_int (which includes CUSTOM).
+    if quantize_forces and q.mode in (Precision.INT4_SIM, Precision.INT8_SIM):
         acc = quantize_force(acc, q)
     return acc.astype(jnp.float32)
 
@@ -227,6 +235,22 @@ class CosmologicalEngine:
         ic_fn = ic_fn or make_zeldovich_ics
         pos, vel, masses = ic_fn(key, num_side, self.cfg,
                                  self.start_redshift, cosmo)
+
+        # Normalize masses to O(1) and fold the physical mass unit into G.
+        # Reference masses carry raw RHO_CRIT-scale units (~1e22 M_sun per
+        # particle, universe_2d.py:1008-1011), which pushes f32 KE/momentum
+        # diagnostics within 4x of overflow. Because the PM force is linear
+        # in the mass scale (acc ~ G * mean_rho * delta), accelerations —
+        # and therefore every position/velocity trajectory and physics
+        # verdict — are unchanged (up to f32 rounding); only the
+        # energy/momentum histories
+        # change units (multiply by mass_unit_msun for M_sun-weighted
+        # values).
+        self.mass_unit_msun = float(jnp.mean(masses))
+        if self.mass_unit_msun > 0:
+            masses = masses / self.mass_unit_msun
+            self.cfg = dataclasses.replace(
+                self.cfg, G=self.cfg.G * self.mass_unit_msun)
         self.state = CosmoState(pos, vel, masses,
                                 jnp.asarray(start_redshift, jnp.float32),
                                 jnp.asarray(0, jnp.int32))
@@ -321,13 +345,15 @@ class CosmologicalEngine:
             ):
                 if ev:
                     self.history["glitches"].append(ev)
+            # Unconditional per-step call (the reference checks every step,
+            # universe_2d.py:1148) so subnormal_history stays a dense
+            # per-step series; zero counts emit no event.
             sub = glitch_lib.SubnormalMetrics(
                 subnormal_count=int(stream.subnormals[i]),
                 zero_count=0, min_nonzero=float("inf"))
-            if int(stream.subnormals[i]) > 0:
-                ev = self.glitch_detector.check_subnormals(sub, tick, z)
-                if ev:
-                    self.history["glitches"].append(ev)
+            ev = self.glitch_detector.check_subnormals(sub, tick, z)
+            if ev:
+                self.history["glitches"].append(ev)
             self.history["redshift"].append(z)
             self.history["time_gyr"].append(
                 self.cosmo.cosmic_time_gyr(max(z, 0.0)))
@@ -455,5 +481,6 @@ class CosmologicalEngine:
             "epoch": self.current_epoch.value,
             "num_particles": self.num_particles,
             "box_size_mpc": self.cfg.box_size,
+            "mass_unit_msun": self.mass_unit_msun,
             "glitch_count": self.glitch_detector.get_glitch_count(),
         }

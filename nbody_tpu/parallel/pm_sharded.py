@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.engines.cosmo import CosmoState, PMConfig
 from nbody_tpu.ops import pm
-from nbody_tpu.ops.precision import Quantizer, quantize_force
+from nbody_tpu.ops.precision import Precision, Quantizer, quantize_force
 from nbody_tpu.parallel.ring import AXIS, _pad_to_shards
 
 
@@ -81,7 +81,10 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
             # the real (N, D) tensor).
             vmask = valid[:, None]
             acc = jnp.where(vmask > 0, acc, 0.0)
-            if quantize_forces and q.is_int:
+            # Same mode gate as engines.cosmo.pm_accelerations: the
+            # reference quantizes PM forces for INT4/INT8 only.
+            if quantize_forces and q.mode in (Precision.INT4_SIM,
+                                              Precision.INT8_SIM):
                 lo = jax.lax.pmin(
                     jnp.min(jnp.where(vmask > 0, acc, jnp.inf)), AXIS)
                 hi = jax.lax.pmax(

@@ -148,6 +148,36 @@ def test_engine_evolves(engine2d):
     assert len(e.history["exploits"]) == 1
 
 
+def test_engine_mass_units_leave_f32_headroom(engine2d):
+    """Masses are normalized to O(1) with the physical unit folded into G,
+    so KE/momentum diagnostics sit far below f32 max (the raw
+    RHO_CRIT-scale units of the reference put KE within 4x of overflow)."""
+    e = engine2d
+    m = np.asarray(e.masses)
+    np.testing.assert_allclose(m.mean(), 1.0, rtol=1e-5)
+    assert e.mass_unit_msun > 1e12  # physical unit preserved for export
+    assert e.get_state_dict()["mass_unit_msun"] == e.mass_unit_msun
+    # Velocities in reference units reach ~5e9 under int4 energy injection
+    # (that's the physics under study), so per-unit-mass KE is ~1e22; the
+    # requirement is overflow *headroom*: >= 8 orders below f32 max
+    # (raw reference units sat within 4x of overflow).
+    ke = e.get_kinetic_energy()
+    assert np.isfinite(ke) and abs(ke) < 1e30
+    assert all(np.isfinite(p) and abs(p) < 1e30
+               for p in e.get_total_momentum())
+    if e.history["energy"]:
+        assert max(abs(x) for x in e.history["energy"]) < 1e30
+
+
+def test_engine_subnormal_history_is_dense(engine2d):
+    """check_subnormals runs every streamed step (reference checks per
+    step, universe_2d.py:1148), so the history is a per-step series."""
+    e = engine2d
+    before = len(e.glitch_detector.subnormal_history)
+    e.step(dz=0.1, num_steps=4)
+    assert len(e.glitch_detector.subnormal_history) == before + 4
+
+
 def test_engine_completes():
     e = cosmo.CosmologicalEngine(num_particles=256, start_redshift=5.0,
                                  precision="float32", dim=2, n_grid=16)
