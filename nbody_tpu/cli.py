@@ -27,6 +27,7 @@ from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import describe_mode, get_mode_from_string
 from nbody_tpu.utils.history import MetricsHistory
 from nbody_tpu.utils.viz import plot_full_comparison, print_summary
+from nbody_tpu.utils.profiler import fence
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -111,7 +112,7 @@ def run_compare(args) -> dict:
         t0 = time.time()
         snaps, frames = sim.run_with_history(
             args.ticks, snapshot_interval=args.snapshot_interval)
-        jax.block_until_ready(snaps)
+        fence(snaps)
         wall = time.time() - t0
         h = MetricsHistory.from_snapshots(snaps, initial=snap0)
         histories[mode.value] = h

@@ -39,6 +39,7 @@ import numpy as np
 
 from nbody_tpu.engines.cosmo import CosmologicalEngine
 from nbody_tpu.utils.reproducibility import hash_state
+from nbody_tpu.utils.profiler import fence
 
 # Reference cosmological data (Planck 2018 / SDSS DR16 anchors,
 # reference: ultimate_reality_engine.py:1195-1210)
@@ -116,7 +117,7 @@ def run_bao_test(engine: UltimateEngine, epochs: int = 5,
     for epoch in range(epochs):
         t0 = time.perf_counter()
         engine.step(dz=dz_per_epoch / 10.0, num_steps=10)
-        jax.block_until_ready(engine.state.positions)
+        fence(engine.state.positions)
         wall = time.perf_counter() - t0
         bao = engine.get_bao_scale()
         rows.append({"epoch": epoch, "redshift": engine.redshift,

@@ -33,6 +33,7 @@ from typing import List
 import numpy as np
 
 from nbody_tpu.engines.cosmo import CosmologicalEngine
+from nbody_tpu.utils.profiler import fence
 
 
 class Universe3D(CosmologicalEngine):
@@ -90,8 +91,8 @@ class SubstrateInterferenceProbe:
             t0 = time.perf_counter()
             universe.step(dz=0.05, num_steps=1)
             if device_stress:
-                mm(x).block_until_ready()
-            jax.block_until_ready(universe.state.positions)
+                fence(mm(x))
+            fence(universe.state.positions)
             times.append((time.perf_counter() - t0) * 1e3)
         return np.asarray(times)
 

@@ -61,22 +61,26 @@ def observer_effect_rates(positions, velocities, masses, num_ticks: int,
     compilation never lands inside the timed window."""
     import time
 
-    import jax
-
     from nbody_tpu.ops.precision import Precision
+    from nbody_tpu.utils.profiler import fence
 
     def run(observe: bool) -> float:
         sim = DirectSimulation(positions, velocities, masses,
                                precision=Precision.FLOAT32)
         sim.step(chunk)  # warm the chunk-sized program
-        jax.block_until_ready(sim.state.positions)
+        fence(sim.state.positions)
         t0 = time.perf_counter()
         for _ in range(num_ticks // chunk):
             sim.step(chunk)
             if observe:
-                _ = np.asarray(sim.positions)
+                _ = np.asarray(sim.positions)  # full-state observation
             else:
-                jax.block_until_ready(sim.state.positions)
+                # Same fence kind as the observed arm (a minimal host
+                # fetch) so the only difference between the arms is the
+                # full-state transfer itself; block_until_ready can
+                # return early on this platform, which inflated
+                # rate_free and biased the verdicts.
+                fence(sim.state.positions)
         return num_ticks / (time.perf_counter() - t0)
 
     rate_free = max(run(False) for _ in range(repeats))

@@ -29,7 +29,7 @@ import numpy as np
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import Precision
-from nbody_tpu.utils.profiler import DeviceProfiler
+from nbody_tpu.utils.profiler import DeviceProfiler, fence
 
 DEFAULT_COUNTS = [100, 250, 500, 1000, 2000, 4000, 8000]
 
@@ -52,14 +52,14 @@ def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
             # static jit arg: a different count compiles a different
             # program and the timed region would include compilation)
             sim.step(ticks_per_size)
-            jax.block_until_ready(sim.state.positions)
+            fence(sim.state.positions)
 
             prof = DeviceProfiler(sample_interval_ms=50,
                                   experiment_name=f"{mode_name}_N{n}")
             prof.start()
             t0 = time.perf_counter()
             sim.step(ticks_per_size)
-            jax.block_until_ready(sim.state.positions)
+            fence(sim.state.positions)
             wall = time.perf_counter() - t0
             prof.stop()
             analysis = prof.analyze()

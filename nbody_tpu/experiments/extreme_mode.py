@@ -34,6 +34,7 @@ from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops import forces
 from nbody_tpu.ops.precision import Precision, Quantizer, f16_roundtrip
+from nbody_tpu.utils.profiler import fence
 
 
 def count_extreme_values(x) -> dict:
@@ -169,7 +170,7 @@ def memory_armageddon(step_mb: int = 256, max_steps: int = 200) -> dict:
         for _ in range(max_steps):
             n = int(step_mb * 1024 * 1024 / 4)
             held.append(jnp.ones((n,), jnp.float32) * 1.000001)
-            held[-1].block_until_ready()
+            fence(held[-1])
             allocated_mb += step_mb
     except Exception as e:  # noqa: BLE001 - OOM class varies by backend
         error = f"{type(e).__name__}"

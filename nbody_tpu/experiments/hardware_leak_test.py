@@ -29,7 +29,7 @@ import numpy as np
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import Precision
-from nbody_tpu.utils.profiler import DeviceProfiler
+from nbody_tpu.utils.profiler import DeviceProfiler, fence
 
 
 def _workload_idle(duration_s: float):
@@ -41,14 +41,14 @@ def _make_sim_workload(precision, num_stars, seed):
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), num_stars)
     sim = DirectSimulation(pos, vel, m, precision=precision)
     sim.step(20)  # warm the exact 20-step program the loop measures
-    jax.block_until_ready(sim.state.positions)
+    fence(sim.state.positions)
 
     def run(duration_s: float):
         iters = 0
         t_end = time.perf_counter() + duration_s
         while time.perf_counter() < t_end:
             sim.step(20)
-            jax.block_until_ready(sim.state.positions)
+            fence(sim.state.positions)
             iters += 20
         return iters
 
@@ -65,11 +65,11 @@ def _workload_recursive_stress(duration_s: float):
             a = jnp.log(jnp.exp(a @ a * 1e-3) + 1.0)
         return a
 
-    chain(x).block_until_ready()
+    fence(chain(x))
     iters = 0
     t_end = time.perf_counter() + duration_s
     while time.perf_counter() < t_end:
-        chain(x).block_until_ready()
+        fence(chain(x))
         iters += 1
     return iters
 
@@ -86,7 +86,7 @@ def _workload_memory_thrash(duration_s: float):
     k = jax.random.PRNGKey(0)
     while time.perf_counter() < t_end:
         k, sub = jax.random.split(k)
-        alloc(sub).block_until_ready()
+        fence(alloc(sub))
         iters += 1
     return iters
 

@@ -35,6 +35,7 @@ import numpy as np
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import Precision
+from nbody_tpu.utils.profiler import fence
 
 
 def bekenstein_bound_test(quick: bool, seed: int) -> dict:
@@ -48,10 +49,10 @@ def bekenstein_bound_test(quick: bool, seed: int) -> dict:
                                          galaxy_radius=radius)
         sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
         sim.step(100)  # warm up the same-shape program
-        jax.block_until_ready(sim.state.positions)
+        fence(sim.state.positions)
         t0 = time.perf_counter()
         sim.step(100)
-        jax.block_until_ready(sim.state.positions)
+        fence(sim.state.positions)
         tps = 100.0 / (time.perf_counter() - t0)
         density = n / (radius * radius)
         finite = bool(np.isfinite(np.asarray(sim.positions)).all())

@@ -39,6 +39,7 @@ from nbody_tpu.diagnostics.multiverse import MultiverseSim
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import Precision
+from nbody_tpu.utils.profiler import fence
 
 
 # --------------------------------------------------------------------------
@@ -59,7 +60,7 @@ def subnormal_singularity_test(num_stars: int = 300, num_ticks: int = 200,
         sim.state = sim.state._replace(velocities=vel_inj)
         t0 = time.perf_counter()
         sim.step(20)
-        jax.block_until_ready(sim.state.positions)
+        fence(sim.state.positions)
         timings.append((time.perf_counter() - t0) * 1e3)
         sm = count_subnormals(sim.state.velocities)
         census.append(int(sm.subnormal_count))

@@ -34,6 +34,7 @@ from nbody_tpu.diagnostics.multiverse import MultiverseSim
 from nbody_tpu.models.direct import DirectSimulation
 from nbody_tpu.models.galaxy import create_disk_galaxy
 from nbody_tpu.ops.precision import Precision
+from nbody_tpu.utils.profiler import fence
 
 HBAR_SIM = 1e-8  # arbitrary "hbar/2" comparison scale (reference: :300)
 
@@ -45,12 +46,12 @@ def temporal_jitter_test(num_stars: int, num_ticks: int, seed: int) -> dict:
     sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
     sim.step(1)  # warm the EXACT single-tick program measured below
     sim.step(10)
-    jax.block_until_ready(sim.state.positions)
+    fence(sim.state.positions)
     times = []
     for _ in range(num_ticks):
         t0 = time.perf_counter_ns()
         sim.step(1)
-        jax.block_until_ready(sim.state.positions)
+        fence(sim.state.positions)
         times.append((time.perf_counter_ns() - t0) / 1e6)
     arr = np.asarray(times)
     cv = float(arr.std() / arr.mean())

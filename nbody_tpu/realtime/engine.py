@@ -37,6 +37,7 @@ from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
+from nbody_tpu.utils.profiler import fence
 
 BAO_REFERENCE_MPC = 147.0
 GLITCH_THRESHOLD = 0.05          # 5% energy jump (reference: :105)
@@ -166,7 +167,7 @@ class CosmicWebEngine:
             engine = self.engine = self._new_engine()
         dz = 0.05
         engine.step(dz, num_steps=self.steps_per_frame)
-        jax.block_until_ready(engine.state.positions)
+        fence(engine.state.positions)
         step_ms = (time.perf_counter() - t0) * 1e3
         with self.state.lock:
             self.state.step_times_ms.append(step_ms)

@@ -7,8 +7,9 @@ expose none of those through JAX, so this module:
 
 * samples what IS observable — device memory (allocator stats), host CPU
   utilization and RSS (psutil), and wall-clock step timings with explicit
-  ``block_until_ready`` fences (the reference's `torch.cuda.synchronize`
-  analogue, red_team_proof.py:196-220);
+  1-element host-fetch fences (``fence``; the reference's
+  `torch.cuda.synchronize` analogue, red_team_proof.py:196-220 —
+  ``block_until_ready`` is unreliable through this platform's tunnel);
 * reports unavailable channels as None and prints an explicit
   "unsupported on this platform" line in reports — experiments whose
   verdicts consume power degrade visibly (SURVEY.md §7 'NVML-shaped
@@ -27,8 +28,27 @@ import time
 from typing import Callable, Dict, List, Optional
 
 import jax
+import numpy as np
 
 from nbody_tpu.utils.reproducibility import DeviceState, get_device_state
+
+
+def fence(x):
+    """Force completion of ``x`` and everything it depends on; returns x.
+
+    The wall-clock fence for every time-based verdict in the framework:
+    ``jax.block_until_ready`` can return before execution completes
+    through a PJRT tunnel (observed on this platform to inflate
+    throughput up to 1000x), but a device->host copy of one element
+    cannot finish before the producing computation does, so a 1-element
+    host fetch is the reliable synchronize (the analogue of the
+    reference's ``torch.cuda.synchronize``, red_team_proof.py:196-220).
+    """
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+            return x
+    return x
 
 
 @dataclasses.dataclass
@@ -130,7 +150,7 @@ class DeviceProfiler:
         """Run fn with a completion fence and record the wall time."""
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        fence(out)
         self.step_times_ms.append((time.perf_counter() - t0) * 1e3)
         return out
 
@@ -196,7 +216,7 @@ class DeviceProfiler:
                       "[clock-stability analogue]")
         print(f"  Unavailable on this platform: "
               f"{', '.join(a.unavailable_channels)}")
-        print("  Methodology: timings include block_until_ready fences; "
+        print("  Methodology: timings include 1-element host-fetch fences; "
               "first call per shape excluded only if warmed up by caller.")
         print("=" * 64)
 
