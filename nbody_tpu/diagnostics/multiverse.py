@@ -104,18 +104,25 @@ class MultiverseSim:
         self._b_state = (pos, vel, m)
         self._b_acc = acc
 
+    def step(self, num_ticks: int = 10):
+        """Advance all three universes in lockstep; returns the pair of
+        mean position divergences (|A-B|, |A-C|) — the incremental entry
+        the live dashboard consumes."""
+        self.universe_a.step(num_ticks)
+        self._step_b(num_ticks)
+        self.universe_c.step(num_ticks)
+        pa = np.asarray(self.universe_a.positions)
+        db = float(np.abs(pa - np.asarray(self._b_state[0])).mean())
+        dc = float(np.abs(pa - np.asarray(self.universe_c.positions)).mean())
+        return db, dc
+
     def run(self, num_ticks: int = 200, interval: int = 20) -> MultiverseReport:
         ticks, div_b, div_c = [], [], []
         for t in range(0, num_ticks, interval):
-            self.universe_a.step(interval)
-            self._step_b(interval)
-            self.universe_c.step(interval)
-            pa = np.asarray(self.universe_a.positions)
-            pb = np.asarray(self._b_state[0])
-            pc = np.asarray(self.universe_c.positions)
+            db, dc = self.step(interval)
             ticks.append(t + interval)
-            div_b.append(float(np.abs(pa - pb).mean()))
-            div_c.append(float(np.abs(pa - pc).mean()))
+            div_b.append(db)
+            div_c.append(dc)
 
         def lyapunov(divs):
             d = np.asarray(divs)

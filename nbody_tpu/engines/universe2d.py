@@ -40,24 +40,29 @@ class Universe2D(CosmologicalEngine):
 
 
 class Universe2DDashboard:
-    """Dashboard renderer (reference: universe_2d.py:1296-1562). Headless:
-    writes PNG frames at a cadence; interactive: FuncAnimation."""
+    """Dashboard renderer (reference: universe_2d.py:1296-1562, a 20 FPS
+    FuncAnimation). Three surfaces on the same panel layout:
+    ``render_frame`` (one PNG), ``animate`` (live FuncAnimation with a
+    display, gif/mp4 render headless — via utils.anim)."""
 
     def __init__(self, universe: Universe2D, out_dir: str = "output/universe2d"):
         self.u = universe
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
 
-    def render_frame(self, tag: str = None):
-        import matplotlib
-        matplotlib.use("Agg")
+    def _make_figure(self):
         import matplotlib.pyplot as plt
 
-        u = self.u
         fig = plt.figure(figsize=(16, 9), facecolor="#0b0b16")
         gs = fig.add_gridspec(2, 3)
+        axes = (fig.add_subplot(gs[:, :2]), fig.add_subplot(gs[0, 2]),
+                fig.add_subplot(gs[1, 2]))
+        return fig, axes
 
-        ax = fig.add_subplot(gs[:, :2])
+    def _draw(self, axes):
+        u = self.u
+        ax, ax2, ax3 = axes
+        ax.clear()
         pos = np.asarray(u.positions)
         ax.scatter(pos[:, 0], pos[:, 1], s=0.5, c="white", alpha=0.6)
         ax.set_facecolor("black")
@@ -69,7 +74,7 @@ class Universe2DDashboard:
                      color="white")
         ax.tick_params(colors="white")
 
-        ax2 = fig.add_subplot(gs[0, 2])
+        ax2.clear()
         k, pk = u.compute_power_spectrum()
         valid = pk > 0
         if valid.sum():
@@ -78,7 +83,7 @@ class Universe2DDashboard:
         ax2.set_facecolor("#101020")
         ax2.tick_params(colors="white")
 
-        ax3 = fig.add_subplot(gs[1, 2])
+        ax3.clear()
         if u.history["energy"]:
             ax3.plot(u.history["energy"], color="#f39c12")
         ax3.set_title(f"Kinetic energy  (glitches: "
@@ -87,12 +92,38 @@ class Universe2DDashboard:
         ax3.set_facecolor("#101020")
         ax3.tick_params(colors="white")
 
+    def render_frame(self, tag: str = None):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = self._make_figure()
+        self._draw(axes)
         fig.tight_layout()
-        name = tag or f"frame_t{u.tick:04d}"
+        name = tag or f"frame_t{self.u.tick:04d}"
         path = self.out_dir / f"{name}.png"
         fig.savefig(path, dpi=110, facecolor="#0b0b16")
         plt.close(fig)
         return path
+
+    def animate(self, dz: float = 1.0, steps_per_frame: int = 2,
+                frames: int = 25, save_path=None, headless=None):
+        """Live dashboard: steps the engine between redraws
+        (reference cadence: universe_2d.py:1391-1418). Interactive with a
+        display; otherwise renders save_path (default universe2d.gif)."""
+        from nbody_tpu.utils.anim import LiveAnimation
+
+        def update(frame, axes):
+            if not self.u.completed:
+                self.u.step(dz, num_steps=steps_per_frame)
+            self._draw(axes)
+            return []
+
+        anim = LiveAnimation(self._make_figure, update, frames=frames,
+                             interval_ms=50)
+        return anim.run(save_path=save_path
+                        or self.out_dir / "universe2d.gif",
+                        headless=headless)
 
 
 def write_report(u: Universe2D, path: Path):
@@ -135,7 +166,13 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="output/universe2d")
     p.add_argument("--frames", type=int, default=5,
                    help="dashboard frames to render across the run")
-    p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--headless", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-headless opens the interactive dashboard "
+                        "window when a display exists")
+    p.add_argument("--animate", action="store_true",
+                   help="run the live FuncAnimation dashboard instead of "
+                        "periodic PNG frames (gif when headless)")
     p.add_argument("--checkpoint-dir", type=str, default=None,
                    help="enable checkpoint/resume in this directory")
     args = p.parse_args(argv)
@@ -156,6 +193,15 @@ def main(argv=None):
             print(f"resumed from checkpoint at tick {resumed} "
                   f"(z={u.redshift:.2f})")
     dash = Universe2DDashboard(u, args.output)
+
+    if args.animate:
+        path = dash.animate(dz=args.dz, frames=args.frames * 5,
+                            headless=args.headless or None)
+        if path:
+            print(f"animation written to {path}")
+        report = write_report(u, Path(args.output) / "universe2d_report.json")
+        print(json.dumps(report, indent=2, default=str))
+        return
 
     total_steps = int((args.start_z - u.cfg.min_redshift) / args.dz) + 1
     frame_every = max(1, total_steps // max(args.frames, 1))

@@ -254,6 +254,13 @@ def main(argv=None):
                    help="run substrate/collision/IRL probes after evolution")
     p.add_argument("--frames", type=int, default=4,
                    help="3-D dashboard frames to render across the run")
+    p.add_argument("--headless", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-headless opens the interactive rotating "
+                        "viewer when a display exists")
+    p.add_argument("--animate", action="store_true",
+                   help="run the rotating live dashboard instead of "
+                        "periodic PNG frames (gif when headless)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -267,6 +274,14 @@ def main(argv=None):
     from nbody_tpu.engines.dashboard3d import Dashboard3D
 
     dash = Dashboard3D(u, args.output)
+
+    if args.animate:
+        path = dash.animate(dz=args.dz, frames=args.frames * 5,
+                            headless=args.headless or None)
+        if path:
+            print(f"animation written to {path}")
+        return
+
     total_steps = int((args.start_z - u.cfg.min_redshift) / args.dz) + 1
     frame_every = max(1, total_steps // max(args.frames, 1))
     t0 = time.time()

@@ -189,12 +189,179 @@ def spatial_aliasing_test(wall_stars: int = 200, v_projectile: float = 50.0,
             "clip_through": bool(clipped)}
 
 
+# --------------------------------------------------------------------------
+# Live dashboard (reference: RealityGlitchVisualizer,
+# reality_glitch_tests.py:444-1218)
+# --------------------------------------------------------------------------
+
+class RealityGlitchDashboard:
+    """Four live panels + terminal anomaly log + final verdict.
+
+    Panels mirror the reference's 4-panel FuncAnimation dashboard:
+    1. the subnormal-stressed galaxy (scatter, colored by |v|),
+    2. subnormal census per frame,
+    3. multiverse divergence (|A-B| reversed-sum, |A-C| fp16, log scale),
+    4. entropy bits/float of the int4 universe.
+
+    Runs interactively when a display exists, else renders to a gif via
+    utils.anim.LiveAnimation — the capability the reference only had
+    display-attached.
+    """
+
+    def __init__(self, num_stars: int = 200, seed: int = 42,
+                 ticks_per_frame: int = 5):
+        key = jax.random.PRNGKey(seed)
+        pos, vel, m = create_disk_galaxy(key, num_stars)
+        self.stress = DirectSimulation(pos, vel, m,
+                                       precision=Precision.FLOAT32,
+                                       cfg=SimConfig(softening=1e-18))
+        self.mv = MultiverseSim(pos, vel, m)
+        self.ent_sim = DirectSimulation(pos, vel, m,
+                                        precision=Precision.INT4_SIM)
+        self.ticks_per_frame = ticks_per_frame
+        self.hist = {"frame": [], "subnormals": [], "div_rev": [],
+                     "div_fp16": [], "bits": []}
+        self.anomalies = []
+
+    def _log_anomaly(self, msg: str):
+        """Terminal anomaly log (reference prints these live)."""
+        self.anomalies.append(msg)
+        print(f"  [ANOMALY] {msg}")
+
+    def advance(self):
+        """One dashboard tick: advance all probe sims and histories."""
+        self.stress.state = self.stress.state._replace(
+            velocities=self.stress.state.velocities.at[:10].multiply(1e-40))
+        self.stress.step(self.ticks_per_frame)
+        sub = int(count_subnormals(self.stress.state.velocities)
+                  .subnormal_count)
+        db, dc = self.mv.step(self.ticks_per_frame)
+        self.ent_sim.step(self.ticks_per_frame)
+        ent = measure_state_entropy(self.ent_sim.positions,
+                                    self.ent_sim.velocities)
+        h = self.hist
+        h["frame"].append(len(h["frame"]))
+        h["subnormals"].append(sub)
+        h["div_rev"].append(db)
+        h["div_fp16"].append(dc)
+        h["bits"].append(ent.bits_per_float)
+        if sub > 0:
+            self._log_anomaly(f"subnormal flood: {sub} denormals")
+        if len(h["div_rev"]) > 1 and db > 10 * max(h["div_rev"][-2], 1e-12):
+            self._log_anomaly(f"divergence jump |A-B| -> {db:.3e}")
+        if len(h["bits"]) > 1 and abs(h["bits"][-1] - h["bits"][-2]) > 1.0:
+            self._log_anomaly(
+                f"entropy step {h['bits'][-2]:.2f} -> {h['bits'][-1]:.2f} "
+                "bits/float")
+
+    def make_figure(self):
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 2, figsize=(12, 8), facecolor="#0b0b16")
+        for ax in axes.ravel():
+            ax.set_facecolor("#101020")
+            ax.tick_params(colors="white")
+            for spine in ax.spines.values():
+                spine.set_color("#444466")
+            ax.title.set_color("white")
+        fig.suptitle("REALITY GLITCH DASHBOARD", color="white")
+        return fig, axes
+
+    def update(self, frame, axes):
+        import numpy as _np
+
+        self.advance()
+        h = self.hist
+        ax = axes[0, 0]
+        ax.clear()
+        ax.set_facecolor("black")
+        p = _np.asarray(self.stress.positions)
+        v = _np.linalg.norm(_np.asarray(self.stress.velocities), axis=1)
+        ax.scatter(p[:, 0], p[:, 1], s=1.5, c=v, cmap="plasma")
+        ax.set_title(f"subnormal-stressed universe (tick "
+                     f"{self.stress.tick})", color="white")
+
+        ax = axes[0, 1]
+        ax.clear()
+        ax.plot(h["frame"], h["subnormals"], color="#e74c3c")
+        ax.set_title("subnormal census (TPU FTZ -> flatline 0)",
+                     color="white")
+
+        ax = axes[1, 0]
+        ax.clear()
+        ax.semilogy(h["frame"],
+                    _np.maximum(h["div_rev"], 1e-12), color="#f39c12",
+                    label="|A-B| reversed sum")
+        ax.semilogy(h["frame"],
+                    _np.maximum(h["div_fp16"], 1e-12), color="#9b59b6",
+                    label="|A-C| fp16")
+        ax.legend(facecolor="#101020", labelcolor="white")
+        ax.set_title("multiverse divergence", color="white")
+
+        ax = axes[1, 1]
+        ax.clear()
+        ax.plot(h["frame"], h["bits"], color="#2ecc71")
+        ax.set_title("int4 universe entropy (bits/float)", color="white")
+        for ax in axes.ravel():
+            ax.tick_params(colors="white")
+            ax.set_facecolor(ax.get_facecolor() or "#101020")
+        return []
+
+    def final_verdict(self) -> dict:
+        h = self.hist
+        return {
+            "frames": len(h["frame"]),
+            "max_subnormals": max(h["subnormals"], default=0),
+            "final_divergence_reversed": (h["div_rev"][-1]
+                                          if h["div_rev"] else 0.0),
+            "final_divergence_fp16": (h["div_fp16"][-1]
+                                      if h["div_fp16"] else 0.0),
+            "entropy_drift_bits": ((h["bits"][-1] - h["bits"][0])
+                                   if len(h["bits"]) >= 2 else 0.0),
+            "anomalies": self.anomalies,
+        }
+
+
+def run_dashboard(num_stars: int = 200, seed: int = 42, frames: int = 12,
+                  ticks_per_frame: int = 5, save_path=None,
+                  headless=None) -> dict:
+    """Build and run the live dashboard; returns the final verdict dict."""
+    from nbody_tpu.utils.anim import LiveAnimation
+
+    dash = RealityGlitchDashboard(num_stars, seed, ticks_per_frame)
+    anim = LiveAnimation(dash.make_figure, dash.update, frames=frames,
+                         interval_ms=100)
+    path = anim.run(save_path=save_path, headless=headless)
+    verdict = dash.final_verdict()
+    if path is not None:
+        verdict["animation"] = str(path)
+        print(f"  dashboard animation written to {path}")
+    return verdict
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Reality glitch test suite")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", type=str, default="output/reality_glitch")
+    p.add_argument("--animate", action="store_true",
+                   help="run the 4-panel live dashboard (interactive with "
+                        "a display, else renders a gif)")
+    p.add_argument("--frames", type=int, default=12,
+                   help="dashboard frames in headless/gif mode")
     args = p.parse_args(argv)
+
+    if args.animate:
+        out = Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        verdict = run_dashboard(
+            num_stars=100 if args.quick else 200, seed=args.seed,
+            frames=max(4, args.frames // 2) if args.quick else args.frames,
+            save_path=out / "glitch_dashboard.gif")
+        (out / "glitch_dashboard.json").write_text(
+            json.dumps(verdict, indent=2))
+        print(json.dumps(verdict, indent=2))
+        return
     n = 150 if args.quick else 300
     ticks = 100 if args.quick else 200
 

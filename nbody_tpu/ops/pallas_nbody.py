@@ -72,6 +72,26 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
     log_hi = bounds_ref[0, 1]
     softening_sq = bounds_ref[0, 2]
 
+    if q.is_int:
+        # Fold the whole log-grid snap + inverse-cube into two per-pair
+        # FMAs around the round (hoisted scalar algebra; see j_chunk):
+        #   k          = round(log_d2 * norm_a + norm_b)
+        #   arg        = min(k * arg_k + arg_0, arg_cap)
+        #   factor     = gm_j * exp(arg)
+        # A degenerate span (all distances equal to within 1e-10 in log
+        # space) is handled by the span clamp alone: the snap error it
+        # introduces is < 1e-10 in log(d^2), i.e. ~1.5e-10 relative in
+        # the force — the reference's explicit passthrough branch
+        # (quantization.py:112-121) is indistinguishable at f32.
+        lvl = float(q.levels - 1)
+        safe_span = jnp.maximum(log_hi - log_lo, 1e-10)
+        norm_a = lvl / safe_span
+        norm_b = -log_lo * norm_a
+        arg_k = -1.5 * safe_span / lvl
+        arg_0 = -1.5 * log_lo
+        # log_q = max(log_snapped, log_min); x -1.5 flips it to a min.
+        arg_cap = -1.5 * math.log(q.min_dist_sq)
+
     def j_chunk(jc, acc):
         j0 = jc * block_j
         # Source coordinates: (1, BJ) lane rows.
@@ -89,19 +109,15 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
             # Log-space fast path: the quantizer already works in
             # log(d^2), and d^-3 = exp(-1.5 * log(d^2)) — snapping and
             # the inverse-cube both come out of the same log, skipping
-            # the exp->rsqrt->cube round trip (same math as
-            # grid_quantize_safe o rsqrt^3; bit-level deltas only in the
-            # final exp rounding).
-            log_min = jnp.log(jnp.float32(q.min_dist_sq))
+            # the exp->rsqrt->cube round trip. All grid algebra is
+            # pre-folded into the hoisted scalars above, leaving
+            # max/log/fma/round/fma/min/exp/mul per pair (same math as
+            # grid_quantize_safe o rsqrt^3; bit-level deltas only from
+            # constant folding and the final exp rounding).
             log_d2 = jnp.log(jnp.maximum(d2, q.min_dist_sq))
-            span = log_hi - log_lo
-            safe_span = jnp.where(span < 1e-10, 1.0, span)
-            normalized = (log_d2 - log_lo) / safe_span * (q.levels - 1)
-            log_snapped = (jnp.round(normalized) / (q.levels - 1)
-                           * safe_span + log_lo)
-            log_snapped = jnp.where(span < 1e-10, log_d2, log_snapped)
-            log_q = jnp.maximum(log_snapped, log_min)
-            factor = gm_j * jnp.exp(-1.5 * log_q)
+            k = jnp.round(log_d2 * norm_a + norm_b)
+            arg = jnp.minimum(k * arg_k + arg_0, arg_cap)
+            factor = gm_j * jnp.exp(arg)
         else:
             d2q = quantize_distance_squared(d2, q)
             inv_d = jax.lax.rsqrt(d2q)
@@ -130,18 +146,17 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
 
 
 def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
-                block_j: int, n_pad: int, n: int):
+                block_j: int, n_pad: int):
     """Per-receiver-block max of pairwise |x_i - x_j|^2 over all sources.
 
-    Padded tail rows/columns sit at the origin; to keep origin-to-particle
-    distances from inflating the max, both the padded receivers (sublane
-    mask on global i) and padded sources (lane mask on global j) are
-    replaced by 0 before the reduction.
+    Padded tail rows/columns duplicate particle 0 (done by the caller),
+    so every padded pair is a genuine particle pair and can never inflate
+    the max — no per-tile index masks needed (the masked version spent
+    ~40% of its per-pair budget on iota/compare/select).
     """
     num_j = n_pad // block_j
     i0 = pl.program_id(0) * block_i
     xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
 
     def j_chunk(jc, best):
         j0 = jc * block_j
@@ -150,9 +165,6 @@ def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
             d2 = d2 + diffs[d] * diffs[d]
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
-        valid = jnp.logical_and(j_ids < n, i_ids < n)
-        d2 = jnp.where(valid, d2, 0.0)
         return jnp.maximum(best, jnp.max(d2))
 
     # dist^2 is symmetric: only the upper triangle is needed, so each
@@ -182,11 +194,14 @@ def pallas_max_dist_sq(positions, cfg: SimConfig,
     n_pad = _round_up(max(n, block_i, block_j),
                       math.lcm(block_i, block_j, 128))
     positions = positions.astype(jnp.float32)
-    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    # Pad with duplicates of particle 0: padded pairs are then genuine
+    # particle pairs, so the kernel needs no validity masks.
+    pos_pad = jnp.broadcast_to(positions[0], (n_pad, dim)).at[:n].set(
+        positions)
     src = pos_pad.T  # (D, N_pad) lane-major
 
     kernel = functools.partial(_max_kernel, dim=dim, block_i=block_i,
-                               block_j=block_j, n_pad=n_pad, n=n)
+                               block_j=block_j, n_pad=n_pad)
     grid = (n_pad // block_i,)
     block_maxes = pl.pallas_call(
         kernel,

@@ -288,20 +288,23 @@ class RealtimeDashboard:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.frame_idx = 0
 
-    def render(self):
-        import matplotlib
-        matplotlib.use("Agg")
+    def _make_figure(self):
         import matplotlib.pyplot as plt
 
+        fig, axes = plt.subplots(1, 3, figsize=(16, 5),
+                                 facecolor="#0b0b16")
+        return fig, axes
+
+    def _draw(self, axes) -> bool:
         with self.state.lock:
             pos = (None if self.state.positions is None
                    else self.state.positions.copy())
             m = LiveMetrics(**vars(self.state.metrics))
             energy = list(self.state.energy_history[-200:])
         if pos is None:
-            return None
-        fig, axes = plt.subplots(1, 3, figsize=(16, 5),
-                                 facecolor="#0b0b16")
+            return False
+        for ax in axes:
+            ax.clear()
         axes[0].scatter(pos[:, 0], pos[:, 1], s=0.4, c="white", alpha=0.5)
         axes[0].set_facecolor("black")
         axes[0].set_title(f"tick {m.tick}  z={m.redshift:.2f}",
@@ -317,6 +320,17 @@ class RealtimeDashboard:
         axes[2].set_facecolor("#101020")
         for ax in axes:
             ax.tick_params(colors="white")
+        return True
+
+    def render(self):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = self._make_figure()
+        if not self._draw(axes):
+            plt.close(fig)
+            return None
         fig.tight_layout()
         path = self.out_dir / f"rt_frame_{self.frame_idx:04d}.png"
         fig.savefig(path, dpi=100, facecolor="#0b0b16")
@@ -329,18 +343,16 @@ def run_realtime_engine(num_particles: int = 10000,
                         precision: str = "float32", seconds: float = 20.0,
                         seed: int = 42, headless: bool = True,
                         out_dir: str = "output/realtime",
-                        frame_interval_s: float = 5.0) -> dict:
+                        frame_interval_s: float = 5.0,
+                        animate: bool = False) -> dict:
     """(reference: realtime_reality_engine.py:766-880)
 
-    headless=False requests a live matplotlib window; without an
-    interactive display this environment cannot provide one, so the run
-    falls back to headless PNG frames with a warning."""
-    if not headless:
-        import matplotlib
-
-        if matplotlib.get_backend().lower().startswith("agg"):
-            print("WARNING: no interactive display available; falling "
-                  "back to headless PNG frames")
+    ``animate=True`` runs the live FuncAnimation dashboard (interactive
+    window when ``headless=False`` and a display exists; a gif render
+    otherwise) — the device pump stays on the main thread inside the
+    animation callback, matching the platform constraint that dispatch
+    from non-main threads deadlocks. Default mode is the status loop
+    with periodic PNG frames."""
     state = SharedState()
     producer = CosmicWebEngine(state, num_particles, precision, seed)
     producer.start()  # main-thread engine construction + first snapshot
@@ -349,25 +361,45 @@ def run_realtime_engine(num_particles: int = 10000,
         t.start()
     dash = RealtimeDashboard(state, out_dir)
 
-    t_end = time.monotonic() + seconds
-    next_frame = time.monotonic() + frame_interval_s
-    next_status = time.monotonic() + 1.0
     try:
-        while time.monotonic() < t_end:
-            producer.pump()  # device work stays on the main thread
-            now = time.monotonic()
-            if now >= next_status:
-                with state.lock:
-                    m = state.metrics
-                    print(f"  t={seconds - (t_end - now):5.1f}s "
-                          f"tick={m.tick:5d} z={m.redshift:6.2f} "
-                          f"RSI={m.rsi:5.1f} fps={m.fps:5.1f} "
-                          f"glitches={m.glitch_count} "
-                          f"desync={m.desync_count}", flush=True)
-                next_status = now + 1.0
-            if now >= next_frame:
-                dash.render()
-                next_frame += frame_interval_s
+        if animate:
+            from nbody_tpu.utils.anim import LiveAnimation
+
+            frame_slice_s = max(frame_interval_s / 10.0, 0.2)
+            n_frames = max(int(seconds / frame_slice_s), 2)
+
+            def update(frame, axes):
+                t_slice = time.monotonic() + frame_slice_s
+                while time.monotonic() < t_slice:
+                    producer.pump()  # device work on the main thread
+                dash._draw(axes)
+                return []
+
+            anim = LiveAnimation(dash._make_figure, update,
+                                 frames=n_frames, interval_ms=100)
+            path = anim.run(save_path=Path(out_dir) / "realtime.gif",
+                            headless=True if headless else None)
+            if path:
+                print(f"dashboard animation written to {path}")
+        else:
+            t_end = time.monotonic() + seconds
+            next_frame = time.monotonic() + frame_interval_s
+            next_status = time.monotonic() + 1.0
+            while time.monotonic() < t_end:
+                producer.pump()  # device work stays on the main thread
+                now = time.monotonic()
+                if now >= next_status:
+                    with state.lock:
+                        m = state.metrics
+                        print(f"  t={seconds - (t_end - now):5.1f}s "
+                              f"tick={m.tick:5d} z={m.redshift:6.2f} "
+                              f"RSI={m.rsi:5.1f} fps={m.fps:5.1f} "
+                              f"glitches={m.glitch_count} "
+                              f"desync={m.desync_count}", flush=True)
+                    next_status = now + 1.0
+                if now >= next_frame:
+                    dash.render()
+                    next_frame += frame_interval_s
     finally:
         state.running = False
         for t in monitors:
@@ -407,11 +439,17 @@ def main(argv=None):
     p.add_argument("--precision", type=str, default="float32")
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--headless", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-headless opens the live window when a "
+                        "display exists")
+    p.add_argument("--animate", action="store_true",
+                   help="run the FuncAnimation dashboard (gif headless)")
     p.add_argument("--output", type=str, default="output/realtime")
     args = p.parse_args(argv)
     run_realtime_engine(args.particles, args.precision, args.seconds,
-                        args.seed, args.headless, args.output)
+                        args.seed, args.headless, args.output,
+                        animate=args.animate)
 
 
 if __name__ == "__main__":

@@ -191,6 +191,100 @@ class PrecisionCompareViewer:
         return path
 
 
+    def animate(self, frames: int = 20, save_path=None, headless=None):
+        """Live compare dashboard (reference FuncAnimation:
+        realtime_visual.py:142-174): clean/broken galaxies + drift + ghost
+        meter + rotation curves, stepping both universes per frame."""
+        from nbody_tpu.utils.anim import LiveAnimation
+
+        def make_figure():
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(figsize=(16, 9), facecolor="#0b0b16")
+            gs = fig.add_gridspec(2, 3)
+            axes = {
+                "clean": fig.add_subplot(gs[0, 0]),
+                "broken": fig.add_subplot(gs[0, 1]),
+                "div": fig.add_subplot(gs[0, 2]),
+                "drift": fig.add_subplot(gs[1, 0]),
+                "ghost": fig.add_subplot(gs[1, 1]),
+                "curves": fig.add_subplot(gs[1, 2]),
+            }
+            return fig, axes
+
+        def update(frame, axes):
+            self.step()
+            pc = np.asarray(self.clean.positions)
+            pb = np.asarray(self.broken.positions)
+            for key, p, title in (("clean", pc, "CLEAN (float32)"),
+                                  ("broken", pb, "BROKEN (16-level log)")):
+                ax = axes[key]
+                ax.clear()
+                ax.scatter(p[:, 0], p[:, 1], s=0.8, c="white", alpha=0.6)
+                ax.set_facecolor("black")
+                ax.set_xlim(-20, 20)
+                ax.set_ylim(-20, 20)
+                ax.set_title(title, color="white")
+                ax.tick_params(colors="white")
+
+            ax = axes["div"]
+            ax.clear()
+            div = np.linalg.norm(pc - pb, axis=1)
+            ax.scatter(pc[:, 0], pc[:, 1], s=1.2, c=div, cmap="inferno",
+                       vmin=0, vmax=max(float(div.max()), 1e-6))
+            ax.set_facecolor("black")
+            ax.set_xlim(-20, 20)
+            ax.set_ylim(-20, 20)
+            ax.set_title("DIVERGENCE MAP", color="white")
+            ax.tick_params(colors="white")
+
+            ax = axes["drift"]
+            ax.clear()
+            ax.plot(self.history["ticks"], self.history["drift_clean"],
+                    color="#2ecc71", label="clean")
+            ax.plot(self.history["ticks"], self.history["drift_broken"],
+                    color="#e74c3c", label="broken")
+            ax.set_title("Energy drift %", color="white")
+            ax.set_facecolor("#101020")
+            ax.tick_params(colors="white")
+            ax.legend()
+
+            ax = axes["ghost"]
+            ax.clear()
+            ghost = self.history["ghost"][-1]
+            color = ("#e74c3c" if ghost > GHOST_FORCE_DM_THRESHOLD
+                     else "#f39c12")
+            ax.bar(["GHOST FORCE"], [ghost], color=color)
+            label = ("DARK MATTER!" if ghost > GHOST_FORCE_DM_THRESHOLD
+                     else f"{ghost:+.2f}%")
+            ax.set_title(f"Ghost force meter: {label}", color="white")
+            ax.set_facecolor("#101020")
+            ax.tick_params(colors="white")
+
+            ax = axes["curves"]
+            ax.clear()
+            for sim, color, label in ((self.clean, "#2ecc71", "clean"),
+                                      (self.broken, "#e74c3c", "broken")):
+                c = rotation_curve(sim.positions, sim.velocities,
+                                   num_bins=14)
+                r = np.asarray(c.radii)
+                v = np.asarray(c.velocities, float)
+                valid = ~np.isnan(v)
+                ax.plot(r[valid], v[valid], "o-", ms=3, color=color,
+                        label=label)
+            ax.set_title("Live rotation curves", color="white")
+            ax.set_facecolor("#101020")
+            ax.tick_params(colors="white")
+            ax.legend()
+            return []
+
+        anim = LiveAnimation(make_figure, update, frames=frames,
+                             interval_ms=100)
+        return anim.run(save_path=save_path
+                        or self.out_dir / "compare.gif",
+                        headless=headless)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Realtime precision viewer")
     p.add_argument("--stars", type=int, default=2000)
@@ -200,11 +294,21 @@ def main(argv=None):
                    default="compare")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", type=str, default="output/realtime_visual")
+    p.add_argument("--animate", action="store_true",
+                   help="live FuncAnimation (gif when headless) instead "
+                        "of per-frame PNGs; compare mode only")
     args = p.parse_args(argv)
 
     viewer = PrecisionCompareViewer(args.stars, args.seed,
                                     steps_per_frame=args.ticks_per_frame,
                                     out_dir=args.output, mode=args.mode)
+    if args.animate and args.mode == "compare":
+        path = viewer.animate(frames=args.frames)
+        if path:
+            print(f"animation written to {path}")
+        (Path(args.output) / "ghost_history.json").write_text(
+            json.dumps(viewer.history, indent=2))
+        return
     t0 = time.time()
     for f in range(args.frames):
         viewer.step()
