@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: pairwise gravitational interactions/sec on one chip.
 
-Runs the flagship Pallas force kernel inside the jitted leapfrog scan
-(the production configuration: zero host round-trips between ticks) at
-N=131072 in float32, and reports throughput against the BASELINE.json
-north-star of 1e10 pairwise interactions/sec/chip (the reference's
-(N, N, 2) broadcast engine cannot reach this N at all — it is memory-bound
-out at ~10k particles, reference: simulation.py:83).
+Runs the flagship symmetric (Newton's-third-law) Pallas force kernel
+inside the jitted leapfrog scan (the production configuration: zero host
+round-trips between ticks) at N=131072 in BOTH float32 and int4-sim (the
+scientifically central "broken math" mode, including its global-bounds
+max pass and force quantization), against the BASELINE.json north-star of
+1e10 pairwise interactions/sec/chip. The reference's (N, N, 2) broadcast
+engine cannot reach this N at all — it is memory-bound out at ~10k
+particles (reference: simulation.py:83).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+f32 headline, with the int4 numbers as extra keys in the same object.
 Diagnostics go to stderr.
 """
 
@@ -38,7 +41,6 @@ def main():
     from nbody_tpu.ops.precision import Precision, Quantizer
 
     cfg = SimConfig()
-    q = Quantizer(Precision.FLOAT32)
     on_tpu = jax.default_backend() == "tpu"
     n = N if on_tpu else 2048  # CPU fallback keeps the script runnable
     impl = "pallas" if on_tpu else "tiled"
@@ -46,25 +48,32 @@ def main():
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(42), num_stars=n)
     state = make_state(pos, vel, m)
 
-    t0 = time.time()
-    out = run_steps(state, q, cfg, impl, False, STEPS)
-    np.asarray(out.positions[:1])
-    log(f"warmup (compile + {STEPS} steps): {time.time() - t0:.1f}s")
+    def measure(mode, quantize_forces):
+        q = Quantizer(mode)
+        t0 = time.time()
+        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS)
+        np.asarray(out.positions[:1])  # host-fetch fence (not block_until_ready)
+        log(f"{mode.value}: warmup (compile + {STEPS} steps): "
+            f"{time.time() - t0:.1f}s")
+        t0 = time.time()
+        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS)
+        np.asarray(out.positions[:1])
+        wall = time.time() - t0
+        pairs = n * n * STEPS / wall
+        log(f"{mode.value}: N={n} {STEPS} steps: "
+            f"{wall / STEPS * 1e3:.2f} ms/step  {pairs:.3e} pairs/s")
+        return pairs
 
-    t0 = time.time()
-    out = run_steps(state, q, cfg, impl, False, STEPS)
-    np.asarray(out.positions[:1])
-    wall = time.time() - t0
-
-    ms_per_step = wall / STEPS * 1e3
-    pairs_per_sec = n * n * STEPS / wall
-    log(f"N={n} {STEPS} steps: {ms_per_step:.2f} ms/step")
+    f32 = measure(Precision.FLOAT32, False)
+    int4 = measure(Precision.INT4_SIM, True)
 
     print(json.dumps({
         "metric": f"pairwise_interactions_per_sec_chip_N{n}_f32",
-        "value": pairs_per_sec,
+        "value": f32,
         "unit": "pairs/s",
-        "vs_baseline": pairs_per_sec / BASELINE_PAIRS_PER_SEC,
+        "vs_baseline": f32 / BASELINE_PAIRS_PER_SEC,
+        "int4_value": int4,
+        "int4_vs_baseline": int4 / BASELINE_PAIRS_PER_SEC,
     }))
 
 

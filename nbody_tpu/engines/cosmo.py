@@ -209,7 +209,7 @@ class CosmologicalEngine:
                  dm_ratio: float = 5.0, seed: int = 42, dim: int = 2,
                  n_grid: Optional[int] = None, deposit: str = "ngp",
                  cosmo: Cosmology = PLANCK18, min_redshift: float = 0.01,
-                 glitch_threshold: float = 0.05, ic_fn=None):
+                 glitch_threshold: float = 0.05, ic_fn=None, mesh=None):
         self.cosmo = cosmo
         if n_grid is None:
             n_grid = 128 if dim == 2 else 32
@@ -218,6 +218,10 @@ class CosmologicalEngine:
                             min_redshift=min_redshift)
         self.quantizer = Quantizer.from_string(precision)
         self.precision_str = precision
+        # Optional 1-D particle mesh: every step runs the sharded PM
+        # pipeline (replicated grid below 256^dim, fully sharded FFT
+        # above — parallel/pm_sharded.py).
+        self.mesh = mesh
 
         num_side = max(2, round(num_particles ** (1.0 / dim)))
         self.num_particles = num_side ** dim
@@ -329,8 +333,18 @@ class CosmologicalEngine:
         schedule = self._build_schedule(dz, num_steps)
         prev_energy = (self.history["energy"][-1]
                        if self.history["energy"] else 0.0)
-        self.state, stream = run_pm_steps(self.state, schedule,
-                                          self.quantizer, self.cfg)
+        if self.mesh is not None:
+            from nbody_tpu.parallel import pm_sharded
+
+            runner = (pm_sharded.run_pm_steps_sharded_fft
+                      if self.cfg.n_grid >= 256
+                      else pm_sharded.run_pm_steps_sharded)
+            self.state, stream = runner(
+                self.state, schedule, self.quantizer, self.cfg, self.mesh,
+                quantize_forces=self.quantizer.is_int)
+        else:
+            self.state, stream = run_pm_steps(self.state, schedule,
+                                              self.quantizer, self.cfg)
         stream = jax.device_get(stream)
 
         for i in range(num_steps):

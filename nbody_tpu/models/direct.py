@@ -48,6 +48,13 @@ def _force_fn(impl: str, n: int):
     if impl == "tiled":
         return forces.tiled_accelerations
     if impl == "pallas":
+        # Newton's-third-law kernel: each unordered pair evaluated once
+        # (~1.45x over the row-sweep kernel on chip; see docs/PERF.md).
+        from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+        return pallas_accelerations_sym
+    if impl == "pallas_rows":
+        # Row-sweep variant (every ordered pair): kept for the ring tile
+        # (disjoint receiver/source sets) and as a comparison point.
         from nbody_tpu.ops.pallas_nbody import pallas_accelerations
         return pallas_accelerations
     raise ValueError(f"unknown force impl: {impl}")

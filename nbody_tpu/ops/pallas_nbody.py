@@ -145,6 +145,182 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
         out_ref[:, d:d + 1] = acc[d]
 
 
+def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
+                      out_col_ref, *, q: Quantizer, self_masked: bool,
+                      dim: int, block: int, n_pad: int):
+    """Newton's-third-law force kernel: each unordered pair computed once.
+
+    Receiver block I (sublane-major) sweeps source chunks J >= I only.
+    The expensive pair work (d^2, quantize chain, inverse-cube) runs once
+    per unordered pair; the direct contribution accumulates into this
+    block's rows while the reaction (-gm_i * w * diff) accumulates into a
+    lane-major (D, N_pad) column buffer resident in VMEM across the whole
+    grid (sequential 'arbitrary' grid semantics make the cross-step
+    read-modify-write safe). The diagonal tile I==I is computed as a full
+    (B, B) tile with row sums only. Final acceleration = rows + cols^T.
+
+    pos_i_ref: (B, D+1) — receiver coords + a G*m_i column (sublane-major)
+    src_ref:   (D+1, N_pad) — coords + G*m_j row (lane-major)
+    out_row_ref: (B, D) this block's direct sums
+    out_col_ref: (D, N_pad) reaction sums, shared across grid steps
+    """
+    pid = pl.program_id(0)
+    i0 = pid * block
+    num_j = n_pad // block
+
+    @pl.when(pid == 0)
+    def _init_cols():
+        out_col_ref[...] = jnp.zeros_like(out_col_ref)
+
+    xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
+    gm_i = pos_i_ref[:, dim:dim + 1]  # (B, 1)
+
+    log_lo = bounds_ref[0, 0]
+    log_hi = bounds_ref[0, 1]
+    softening_sq = bounds_ref[0, 2]
+
+    if q.is_int:
+        lvl = float(q.levels - 1)
+        safe_span = jnp.maximum(log_hi - log_lo, 1e-10)
+        norm_a = lvl / safe_span
+        norm_b = -log_lo * norm_a
+        arg_k = -1.5 * safe_span / lvl
+        arg_0 = -1.5 * log_lo
+        arg_cap = -1.5 * math.log(q.min_dist_sq)
+
+    def pair_w(d2):
+        """Per-pair scalar weight w = quantized |r|^-3 (no mass folded)."""
+        if q.is_int:
+            log_d2 = jnp.log(jnp.maximum(d2, q.min_dist_sq))
+            k = jnp.round(log_d2 * norm_a + norm_b)
+            arg = jnp.minimum(k * arg_k + arg_0, arg_cap)
+            return jnp.exp(arg)
+        d2q = quantize_distance_squared(d2, q)
+        inv_d = jax.lax.rsqrt(d2q)
+        return inv_d * inv_d * inv_d
+
+    def tile(j0):
+        xj = [src_ref[d:d + 1, pl.ds(j0, block)] for d in range(dim)]
+        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block)]  # (1, B)
+        diffs = [xj[d] - xi[d] for d in range(dim)]
+        d2 = diffs[0] * diffs[0]
+        for d in range(1, dim):
+            d2 = d2 + diffs[d] * diffs[d]
+        return xj, gm_j, diffs, pair_w(d2 + softening_sq)
+
+    # Diagonal tile: full compute, row sums only (both pair directions of
+    # intra-block pairs live in this one tile).
+    _, gm_j, diffs, w = tile(i0)
+    factor = gm_j * w
+    if self_masked:
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        factor = jnp.where(r_ids == c_ids, 0.0, factor)
+    acc0 = tuple(jnp.sum(factor * diffs[d], axis=1, keepdims=True)
+                 for d in range(dim))
+
+    def j_chunk(jc, acc):
+        j0 = jc * block
+        _, gm_j, diffs, w = tile(j0)
+        fr = gm_j * w                       # direct: on this block's rows
+        fc = gm_i * w                       # reaction: on chunk J's cols
+        for d in range(dim):
+            col = -jnp.sum(fc * diffs[d], axis=0, keepdims=True)  # (1, B)
+            out_col_ref[d:d + 1, pl.ds(j0, block)] += col
+        return tuple(
+            acc[d] + jnp.sum(fr * diffs[d], axis=1, keepdims=True)
+            for d in range(dim)
+        )
+
+    acc = jax.lax.fori_loop(pid + 1, num_j, j_chunk, acc0)
+    for d in range(dim):
+        out_row_ref[:, d:d + 1] = acc[d]
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
+                                             "block", "interpret"))
+def pallas_accelerations_sym(positions, masses, q: Quantizer,
+                             cfg: SimConfig, quantize_forces: bool = True,
+                             block: int = 512,
+                             interpret: bool | None = None,
+                             softening_sq=None):
+    """Symmetric-pair variant of pallas_accelerations: ~2x fewer pair
+    evaluations via Newton's third law. Same semantics (the reference
+    evaluates the full (N, N) tensor, simulation.py:83-112; this computes
+    identical sums with a different, still-deterministic association
+    order — f32 rounding-level deltas only)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dynamic_soft = softening_sq is not None
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
+
+    n, dim = positions.shape
+    n_pad = _round_up(max(n, block), math.lcm(block, 128))
+
+    positions = positions.astype(jnp.float32)
+    gm = cfg.G * masses.astype(jnp.float32)
+    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
+    # Receiver blocks carry their G*m as an extra sublane-major column;
+    # sources stay lane-major with the G*m row.
+    recv = jnp.concatenate([pos_pad, gm_pad[:, None]], axis=1)
+    src = jnp.concatenate([pos_pad.T, gm_pad[None, :]], axis=0)
+
+    soft = jnp.asarray(softening_sq, jnp.float32)
+    if q.is_int:
+        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
+                                    softening_sq=softening_sq)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
+        bounds = jnp.stack(
+            [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
+    else:
+        bounds = jnp.stack(
+            [jnp.float32(0), jnp.float32(0), soft]).reshape(1, 3)
+
+    kernel = functools.partial(
+        _force_kernel_sym, q=q,
+        self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
+        block=block, n_pad=n_pad)
+
+    grid = (n_pad // block,)
+    rows, cols = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, dim + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim + 1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
+            jax.ShapeDtypeStruct((dim, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n_pad * n_pad * dim // 4,
+            bytes_accessed=4 * n_pad * dim * 4,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, recv, src)
+
+    acc = (rows + cols.T)[:n]
+    if quantize_forces and q.is_int:
+        acc = quantize_force(acc, q)
+    return acc
+
+
 def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
                 block_j: int, n_pad: int):
     """Per-receiver-block max of pairwise |x_i - x_j|^2 over all sources.

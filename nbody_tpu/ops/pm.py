@@ -95,7 +95,11 @@ def poisson_accel_grids(density, box_size: float, n_grid: int,
     k_sq_q = quantize_distance_squared(k_sq.astype(jnp.float32), q)
 
     phi_k = (-4.0 * jnp.pi * G * mean_rho) * delta_k / k_sq_q / scale
-    phi_k = phi_k.at[(0,) * dim].set(0.0)
+    # Zero the k=0 mode with an elementwise mask instead of a scatter:
+    # identical semantics ((2*pi/box)^2 >> the 1e-10 epsilon for any
+    # physical grid), and it stays shardable when the spectrum is
+    # distributed over a mesh (a scatter into a sharded array is not).
+    phi_k = jnp.where(k_sq <= 1.5e-10, 0.0, phi_k)
 
     accs = []
     for d in range(dim):

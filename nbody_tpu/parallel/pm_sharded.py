@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nbody_tpu.engines.cosmo import CosmoState, PMConfig
+from nbody_tpu.diagnostics import glitch as glitch_lib
+from nbody_tpu.engines.cosmo import CosmoState, PMConfig, StepStream
 from nbody_tpu.ops import pm
 from nbody_tpu.ops.precision import Precision, Quantizer, quantize_force
 from nbody_tpu.parallel.ring import AXIS, _pad_to_shards
@@ -60,7 +61,12 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
                          cfg: PMConfig, mesh: Mesh,
                          quantize_forces: bool = True):
     """Sharded version of engines.cosmo.run_pm_steps: scan over the
-    (z, dt, H, a) schedule with the particle-parallel PM force inside."""
+    (z, dt, H, a) schedule with the particle-parallel PM force inside.
+
+    Returns (state, StepStream) with the same per-step diagnostics the
+    single-device runner streams (KE / momentum / subnormal census /
+    redshift), so the engine's host-side glitch detectors consume either
+    path identically."""
     n_total = state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
 
@@ -95,18 +101,23 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
                  - cfg.hubble_drag * Hn * v * dtn * cfg.unit_scale)
             p = (p + v * dtn / an * cfg.unit_scale) % cfg.box_size
             ke_l = 0.5 * jnp.sum(m_l * valid * jnp.sum(v * v, axis=-1))
-            return (p, v), jax.lax.psum(ke_l, AXIS)
+            mom_l = jnp.sum((m_l * valid)[:, None] * v, axis=0)
+            sub_l = glitch_lib.count_subnormals(
+                jnp.where(vmask > 0, p, 1.0)).subnormal_count
+            return (p, v), StepStream(
+                jax.lax.psum(ke_l, AXIS), jax.lax.psum(mom_l, AXIS),
+                jax.lax.psum(sub_l, AXIS), jnp.asarray(zn, jnp.float32))
 
-        (p, v), kes = jax.lax.scan(step, (pos_l, vel_l), schedule)
-        return p, v, kes
+        (p, v), stream = jax.lax.scan(step, (pos_l, vel_l), schedule)
+        return p, v, stream
 
     fn = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), StepStream(P(), P(), P(), P())),
         check_vma=False,
     )
-    pos_out, vel_out, kes = fn(pos, vel, masses, ids, schedule)
+    pos_out, vel_out, stream = fn(pos, vel, masses, ids, schedule)
 
     def _trim(x):
         x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
@@ -120,7 +131,127 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
         redshift=jnp.asarray(schedule[0][-1], jnp.float32),
         tick=state.tick + num_steps,
     )
-    return new_state, kes
+    return new_state, stream
+
+
+def _deposit_scattered(positions, masses, valid, cfg: PMConfig, mesh: Mesh):
+    """Deposit sharded particles into a grid SHARDED along axis 0.
+
+    Each device deposits its resident particles into a transient local
+    full grid, then a tiled ``psum_scatter`` leaves every device holding
+    only its x-slab of the summed density — the reduce-scatter form of
+    the replicated-deposit psum, O(grid/S) resident per device.
+    """
+    deposit = pm.cic_deposit if cfg.deposit == "cic" else pm.ngp_deposit
+
+    def local(pos_l, w_l):
+        grid = deposit(pos_l, w_l, cfg.n_grid, cfg.box_size)
+        return jax.lax.psum_scatter(grid, AXIS, scatter_dimension=0,
+                                    tiled=True)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                   out_specs=P(AXIS), check_vma=False)
+    return fn(positions, masses * valid)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
+                                             "quantize_forces"))
+def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
+                             cfg: PMConfig, mesh: Mesh,
+                             quantize_forces: bool = True):
+    """Large-grid sharded PM: the WHOLE pipeline under the mesh.
+
+    deposit (reduce-scatter to x-slabs) -> distributed FFT Poisson solve
+    with the quantized-|k|^2 hook (grid stays sharded; XLA inserts the
+    FFT transpose collectives) -> spectral gradients -> gather of the
+    replicated gradient grids at each device's particle shard. This is
+    the n_grid >= 256 path SURVEY §2.5 calls for; the replicated-grid
+    variant (run_pm_steps_sharded) stays the fast path for small grids.
+
+    Same schedule/integration semantics as engines.cosmo.run_pm_steps
+    (reference: universe_2d.py:1196-1209).
+    """
+    n_total = state.positions.shape[0]
+    n_shards = mesh.shape[AXIS]
+
+    pos = _pad_to_shards(state.positions, n_shards)
+    vel = _pad_to_shards(state.velocities, n_shards)
+    masses = _pad_to_shards(state.masses, n_shards)
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    valid = (ids < n_total).astype(jnp.float32)
+
+    shard = NamedSharding(mesh, P(AXIS))
+    grid_shard = NamedSharding(mesh, P(AXIS, *([None] * (cfg.dim - 1))))
+    repl = NamedSharding(mesh, P())
+    pos = jax.sharding.reshard(pos, shard)
+    vel = jax.sharding.reshard(vel, shard)
+    masses = jax.sharding.reshard(masses, shard)
+    valid = jax.sharding.reshard(valid, shard)
+
+    gather = pm.cic_gather if cfg.deposit == "cic" else pm.ngp_gather
+
+    def force(p, scale):
+        density = _deposit_scattered(p, masses, valid, cfg, mesh)
+        density = jax.sharding.reshard(density, grid_shard)
+        if cfg.dm_ratio > 0:
+            dm = pm.dm_background_field(cfg.box_size, cfg.n_grid,
+                                        cfg.dm_ratio, cfg.dim)
+            density = density + dm * jnp.mean(density)
+        # Sharded spectral solve: fftn/ifftn on the slab-sharded grid —
+        # GSPMD inserts the all-to-all transposes over ICI.
+        grids = pm.poisson_accel_grids(density, cfg.box_size, cfg.n_grid,
+                                       q, cfg.G, scale, cfg.dim)
+        # Gradient grids replicate for the purely-local particle gather
+        # (D * grid floats over ICI per evaluation). The gather itself
+        # runs per particle shard under shard_map (a global-view take of
+        # a replicated grid at sharded indices has no unambiguous
+        # explicit out-sharding).
+        grids = [jax.sharding.reshard(g, repl) for g in grids]
+        acc = shard_map(
+            lambda p_l, *gs: gather(list(gs), p_l, cfg.n_grid,
+                                    cfg.box_size),
+            mesh=mesh,
+            in_specs=(P(AXIS),) + (P(),) * cfg.dim,
+            out_specs=P(AXIS),
+            check_vma=False,
+        )(p, *grids)
+        acc = acc * valid[:, None]
+        if quantize_forces and q.mode in (Precision.INT4_SIM,
+                                          Precision.INT8_SIM):
+            lo = jnp.min(jnp.where(valid[:, None] > 0, acc, jnp.inf))
+            hi = jnp.max(jnp.where(valid[:, None] > 0, acc, -jnp.inf))
+            acc = quantize_force(acc, q, lo=lo, hi=hi)
+            acc = acc * valid[:, None]
+        return acc
+
+    def step(carry, xs):
+        p, v = carry
+        zn, dtn, Hn, an = xs
+        acc = force(p, an)
+        v = (v + acc * dtn
+             - cfg.hubble_drag * Hn * v * dtn * cfg.unit_scale)
+        p = (p + v * dtn / an * cfg.unit_scale) % cfg.box_size
+        ke = 0.5 * jnp.sum(masses * valid * jnp.sum(v * v, axis=-1))
+        mom = jnp.sum((masses * valid)[:, None] * v, axis=0)
+        sub = glitch_lib.count_subnormals(
+            jnp.where(valid[:, None] > 0, p, 1.0)).subnormal_count
+        return (p, v), StepStream(ke, mom, sub,
+                                  jnp.asarray(zn, jnp.float32))
+
+    (pos_out, vel_out), stream = jax.lax.scan(step, (pos, vel), schedule)
+
+    def _trim(x):
+        return jax.sharding.reshard(x, repl)[:n_total]
+
+    num_steps = schedule[0].shape[0]
+    new_state = CosmoState(
+        positions=_trim(pos_out),
+        velocities=_trim(vel_out),
+        masses=state.masses,
+        redshift=jnp.asarray(schedule[0][-1], jnp.float32),
+        tick=state.tick + num_steps,
+    )
+    return new_state, stream
 
 
 @functools.lru_cache(maxsize=None)

@@ -141,3 +141,76 @@ def test_pallas_dynamic_softening_matches_static():
                                     block_j=256)
     np.testing.assert_allclose(np.asarray(a_dyn), np.asarray(a_static),
                                rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Symmetric (Newton's-third-law) kernel — the production self-force path
+# --------------------------------------------------------------------------
+
+from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym  # noqa: E402
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.BFLOAT16,
+                                  Precision.FLOAT16])
+def test_sym_matches_dense_float_modes(mode):
+    pos, vel, m = _ics(256)
+    q = Quantizer(mode)
+    a_sym = pallas_accelerations_sym(pos, m, q, CFG, block=128)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", [Precision.INT4_SIM, Precision.INT8_SIM])
+def test_sym_matches_dense_int_modes(mode):
+    pos, vel, m = _ics(256)
+    q = Quantizer(mode)
+    a_sym = np.asarray(pallas_accelerations_sym(pos, m, q, CFG,
+                                                quantize_forces=True,
+                                                block=128))
+    a_ref = np.asarray(forces.dense_accelerations(pos, m, q, CFG,
+                                                  quantize_forces=True))
+    np.testing.assert_allclose(a_sym, a_ref, rtol=5e-5, atol=2e-6)
+
+
+def test_sym_3d_and_nondivisible_n():
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    pos = jax.random.normal(key, (250, 3)) * 5.0
+    m = jnp.ones(250)
+    q = Quantizer(Precision.FLOAT32)
+    a_sym = pallas_accelerations_sym(pos, m, q, CFG, block=128)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_sym_tiny_n():
+    pos, vel, m = _ics(5)
+    q = Quantizer(Precision.FLOAT32)
+    a_sym = pallas_accelerations_sym(pos, m, q, CFG, block=128)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_sym_zero_softening_self_mask():
+    cfg0 = SimConfig(softening=0.0)
+    pos, vel, m = _ics(96)
+    q = Quantizer(Precision.FLOAT32)
+    a_sym = pallas_accelerations_sym(pos, m, q, cfg0, block=32)
+    assert np.isfinite(np.asarray(a_sym)).all()
+    a_ref = forces.dense_accelerations(pos, m, q, cfg0)
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_sym_dynamic_softening_matches_static():
+    pos, vel, m = _ics(200)
+    q = Quantizer(Precision.INT4_SIM)
+    a_dyn = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     softening_sq=jnp.float32(CFG.softening_sq))
+    a_static = pallas_accelerations_sym(pos, m, q, CFG, block=128)
+    np.testing.assert_allclose(np.asarray(a_dyn), np.asarray(a_static),
+                               rtol=1e-5, atol=1e-6)
