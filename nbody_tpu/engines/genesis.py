@@ -3,8 +3,14 @@
 TPU-native equivalent of the reference genesis engine
 (reference: universe_genesis.py:217-784): sigma8/n_s-normalised primordial
 power spectrum with BAO transfer wiggles, Zel'dovich displacement and
-velocities, a 16-epoch cosmic timeline, 64^3 PM evolution at dz=0.5, and a
+velocities, the full cosmic timeline, 64^3 PM evolution at dz=0.5, and a
 dashboard + state export.
+
+Timeline parity: GENESIS_TIMELINE mirrors the reference's CosmicEpoch
+enum 1:1 — all FIFTEEN members, Planck through Present Day (reference:
+universe_genesis.py:100-114; the earlier "16-epoch" tally in
+SURVEY.md §2.2 double-counted — tests/test_pm_cosmo.py pins the list
+against the reference's member names).
 
 Usage:
     python -m nbody_tpu.engines.genesis --particles 32768 --precision int4

@@ -6,10 +6,13 @@ TPU-native equivalent of the reference audit
 * the reference fetches TLEs from CelesTrak with a cached ISS fallback
   (reference: :89-111, :337-340); this environment has zero egress, so the
   cached-fixture path IS the path — TLE fixtures below;
-* the reference wraps the ``sgp4`` library (not installed here); the
-  reference ephemeris is a Keplerian + J2-secular mean-element propagator
-  (the dominant terms SGP4 models for these orbits), documented as the
-  stand-in oracle;
+* the reference wraps the ``sgp4`` library (not installed here); this
+  framework VENDORS a near-Earth SGP4 core (``experiments/_sgp4.py``,
+  Spacetrack Report #3 equations: Brouwer recovery, B* drag series,
+  J2/J3/J4 secular + periodic terms) and uses it as the oracle for
+  near-Earth TLEs; deep-space TLEs (period >= 225 min, SDP4 territory)
+  fall back to the Keplerian + J2-secular propagator, and each row
+  records which oracle produced it;
 * the device simulator is an RK4 two-body + J2 integrator under
   ``lax.scan`` with the precision ladder applied to r^2 (the same
   "broken math" hook as the galaxy engine) and underflow/overflow event
@@ -108,11 +111,23 @@ def elements_to_state(el: dict):
     return R @ rp, R @ vp
 
 
+def reference_ephemeris(el: dict, line1: str, line2: str, times_s):
+    """Oracle positions at the sample times: vendored SGP4 for near-Earth
+    TLEs, Keplerian+J2 secular for deep-space ones (SDP4 is out of the
+    vendored core's scope). Returns (positions (T, 3), oracle_name)."""
+    from nbody_tpu.experiments import _sgp4
+
+    try:
+        return _sgp4.sgp4_ephemeris(line1, line2, times_s), "sgp4"
+    except ValueError:
+        return kepler_j2_reference(el, times_s), "kepler_j2"
+
+
 def kepler_j2_reference(el: dict, times_s):
     """Host reference ephemeris at the given sample times: Keplerian
-    motion + J2 secular drift of RAAN/argp (the SGP4 stand-in; dominant
-    terms for LEO/MEO). Taking explicit times keeps the comparison
-    aligned with the device propagator's sample instants."""
+    motion + J2 secular drift of RAAN/argp (the deep-space fallback
+    oracle; dominant terms for LEO/MEO). Taking explicit times keeps the
+    comparison aligned with the device propagator's sample instants."""
     a, e = el["semi_major_axis_km"], el["eccentricity"]
     i = math.radians(el["inclination_deg"])
     n = math.sqrt(MU_EARTH / a ** 3)
@@ -223,8 +238,8 @@ def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0) -> dict:
         n_samples = num_steps // sample_every
         # device samples land at t = (j+1) * sample_every * dt exactly
         times = [(j + 1) * sample_every * dt for j in range(n_samples)]
-        ref = kepler_j2_reference(el, times)
-        row = {"elements": el}
+        ref, oracle = reference_ephemeris(el, l1, l2, times)
+        row = {"elements": el, "oracle": oracle}
         for mode in (Precision.FLOAT32, Precision.FLOAT16,
                      Precision.INT4_SIM):
             q = Quantizer(mode)
@@ -242,7 +257,8 @@ def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0) -> dict:
                 "overflows": int(over),
             }
             print(f"  {name:10s} {mode.value:9s}: final drift "
-                  f"{drift[-1]:10.2f} km over {duration_hours:.0f}h")
+                  f"{drift[-1]:10.2f} km over {duration_hours:.0f}h "
+                  f"[oracle: {oracle}]")
         # int4 signature: drift ratio vs float32
         f32 = row["float32"]["final_drift_km"]
         row["int4_signature"] = (row["int4_sim"]["final_drift_km"]
@@ -353,8 +369,9 @@ def run_full_orbital_audit(quick: bool = False) -> dict:
         "flop_cost": flop_cost_audit(),
         "notes": ("network TLE fetch unavailable (zero-egress environment):"
                   " cached fixtures used, matching the reference's offline "
-                  "fallback; sgp4 library unavailable: Keplerian+J2-secular"
-                  " reference ephemeris documented as the oracle"),
+                  "fallback; oracle = vendored near-Earth SGP4 core "
+                  "(experiments/_sgp4.py) with Keplerian+J2-secular "
+                  "fallback for deep-space TLEs (period >= 225 min)"),
     }
     sig = np.mean([r["int4_signature"]
                    for r in report["tle_drift"].values()

@@ -61,18 +61,19 @@ def cross_host_state_agreement(positions, velocities) -> dict:
     from nbody_tpu.utils.reproducibility import hash_state
 
     local_hash = hash_state(positions, velocities)
-    # Compare by broadcasting a numeric digest through a psum: all hosts
-    # contribute digest/num_processes; equality of the psum with any local
-    # digest (within exact integer arithmetic) implies agreement.
-    digest = np.frombuffer(bytes.fromhex(local_hash), dtype=np.uint64)[0]
     n = jax.process_count()
     if n == 1:
         return {"hash": local_hash, "all_equal": True, "num_processes": 1}
 
     from jax.experimental import multihost_utils
 
-    digest_arr = jnp.asarray([np.float64(digest % (2 ** 52))])
-    summed = multihost_utils.process_allgather(digest_arr)
-    all_equal = bool(np.all(np.asarray(summed) == np.asarray(summed)[0]))
+    # Gather the digest as four exact 16-bit integer limbs: a float
+    # gather would silently round away low-bit differences (jax defaults
+    # to f32), turning real cross-host divergence into false agreement.
+    digest = int(local_hash, 16)
+    limbs = jnp.asarray([(digest >> s) & 0xFFFF for s in (0, 16, 32, 48)],
+                        dtype=jnp.int32)
+    gathered = np.asarray(multihost_utils.process_allgather(limbs))
+    all_equal = bool(np.all(gathered == gathered[0]))
     return {"hash": local_hash, "all_equal": all_equal,
             "num_processes": n}

@@ -103,6 +103,26 @@ def test_bao_scale_from_pk():
 # Engine
 # --------------------------------------------------------------------------
 
+def test_genesis_timeline_matches_reference_epoch_enum():
+    """GENESIS_TIMELINE must carry every member of the reference's
+    CosmicEpoch enum (reference: universe_genesis.py:100-114 — 15
+    members, Planck through Present Day), in redshift order."""
+    from nbody_tpu.engines.genesis import GENESIS_TIMELINE
+
+    reference_members = [
+        "Planck", "Inflation", "Quark", "Hadron", "Nucleosynthesis",
+        "Radiation", "Matter", "Recombination", "Dark Ages",
+        "First Stars", "Reionization", "Galaxy Formation",
+        "Peak Star Formation", "Dark Energy", "Present",
+    ]
+    assert len(GENESIS_TIMELINE) == len(reference_members) == 15
+    names = [e.name for e in GENESIS_TIMELINE]
+    for want in reference_members:
+        assert any(want.lower() in n.lower() for n in names), want
+    zs = [e.redshift for e in GENESIS_TIMELINE]
+    assert zs == sorted(zs, reverse=True)
+
+
 def test_epoch_thresholds():
     assert get_current_epoch(1100) == CosmicEpoch.RECOMBINATION
     assert get_current_epoch(50) == CosmicEpoch.DARK_AGES
