@@ -64,6 +64,7 @@ def measure_jitter(pos, vel, m, dt: float, total_time: float,
     sample_dt = interval * dt  # physical spacing between samples
     sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
                            dt=dt, dynamic_params=True)
+    e0 = sim.get_total_energy()
     pos_frames, vel_frames = [], []
     for _ in range(num_samples):
         sim.step(interval)
@@ -73,7 +74,9 @@ def measure_jitter(pos, vel, m, dt: float, total_time: float,
     V = np.stack(vel_frames)
     pos_jitter = float(np.abs(np.diff(P, n=2, axis=0)).mean()) / sample_dt ** 2
     vel_jitter = float(np.abs(np.diff(V, n=2, axis=0)).mean()) / sample_dt ** 2
-    return pos_jitter, vel_jitter
+    e1 = sim.get_total_energy()
+    drift_pct = (e1 - e0) / abs(e0) * 100 if abs(e0) > 1e-12 else 0.0
+    return pos_jitter, vel_jitter, drift_pct
 
 
 def frame_rate_sweep(key, total_time: float = 2.0, quick: bool = False):
@@ -83,9 +86,11 @@ def frame_rate_sweep(key, total_time: float = 2.0, quick: bool = False):
     dts = [0.1, 0.05, 0.02, 0.01, 0.005, 0.001]
     rows = []
     for dt in dts:
-        pj, vj = measure_jitter(pos, vel, m, dt, total_time)
-        rows.append({"dt": dt, "pos_jitter": pj, "vel_jitter": vj})
-        print(f"  dt={dt:6.3f}: pos jitter={pj:.3e}  vel jitter={vj:.3e}")
+        pj, vj, drift = measure_jitter(pos, vel, m, dt, total_time)
+        rows.append({"dt": dt, "pos_jitter": pj, "vel_jitter": vj,
+                     "energy_drift_pct": drift})
+        print(f"  dt={dt:6.3f}: pos jitter={pj:.3e}  vel jitter={vj:.3e}  "
+              f"dE={drift:+.4f}%")
     # correlation of jitter with dt
     logs = np.log10([r["dt"] for r in rows])
     pjs = np.log10([max(r["pos_jitter"], 1e-12) for r in rows])
@@ -102,15 +107,69 @@ def velocity_sweep(key, quick: bool = False):
     rows = []
     for beta in [0.1, 0.3, 0.5, 0.7, 0.9]:
         boost = beta * C_SIM / max(float(jnp.abs(vel).max()), 1e-9)
-        pj, vj = measure_jitter(pos, vel * boost, m, dt=0.01, total_time=1.0)
-        rows.append({"beta": beta, "pos_jitter": pj, "vel_jitter": vj})
-        print(f"  v={beta:.1f}c: pos jitter={pj:.3e}  vel jitter={vj:.3e}")
+        pj, vj, drift = measure_jitter(pos, vel * boost, m, dt=0.01,
+                                       total_time=1.0)
+        rows.append({"beta": beta, "pos_jitter": pj, "vel_jitter": vj,
+                     "energy_drift_pct": drift})
+        print(f"  v={beta:.1f}c: pos jitter={pj:.3e}  vel jitter={vj:.3e}  "
+              f"dE={drift:+.4f}%")
     betas = [r["beta"] for r in rows]
     pjs = [r["pos_jitter"] for r in rows]
     corr = float(np.corrcoef(betas, pjs)[0, 1])
     print(f"  corr(beta, jitter) = {corr:+.3f}")
     return {"rows": rows, "beta_jitter_correlation": corr,
             "speed_creates_jitter": corr > 0.5}
+
+
+def print_analysis(fr: dict, vs: dict):
+    """The reference's full verdict battery (jitter_test.py:427-484):
+    analysis tables with per-row energy drift, ratio verdicts (does
+    jitter grow >1.5x across the sweep?) AND the correlation verdicts."""
+    print("\n" + "=" * 60)
+    print("JITTER HYPOTHESIS ANALYSIS")
+    print("=" * 60)
+    print("\nFRAME RATE TEST:")
+    print("-" * 62)
+    print(f"{'dt':<10} {'FPS':<8} {'Pos Jitter':<12} {'Vel Jitter':<12} "
+          f"{'Energy %':<10}")
+    print("-" * 62)
+    for r in fr["rows"]:
+        print(f"{r['dt']:<10.4f} {1 / r['dt']:<8.0f} "
+              f"{r['pos_jitter']:<12.4e} {r['vel_jitter']:<12.4e} "
+              f"{r['energy_drift_pct']:<+10.4f}")
+    print("\nVELOCITY TEST:")
+    print("-" * 50)
+    print(f"{'V/c':<8} {'Pos Jitter':<12} {'Vel Jitter':<12} "
+          f"{'Energy %':<10}")
+    print("-" * 50)
+    for r in vs["rows"]:
+        print(f"{r['beta']:<8.2f} {r['pos_jitter']:<12.4e} "
+              f"{r['vel_jitter']:<12.4e} {r['energy_drift_pct']:<+10.4f}")
+
+    print("\n" + "-" * 40)
+    print("VERDICT:")
+    # ratio verdicts (reference: :465-484); rows are ordered dt desc =
+    # FPS ascending, so [-1] is the highest frame rate / velocity
+    fr_jit = [r["vel_jitter"] for r in fr["rows"]]
+    fr["jitter_grows_with_fps"] = bool(fr_jit[-1] > fr_jit[0] * 1.5)
+    if fr["jitter_grows_with_fps"]:
+        print("  + Jitter INCREASES with frame rate "
+              "(supports the 'simulation lag' hypothesis)")
+    else:
+        print("  - Jitter does NOT increase with frame rate")
+    vs_jit = [r["vel_jitter"] for r in vs["rows"]]
+    vs["jitter_grows_with_speed"] = bool(vs_jit[-1] > vs_jit[0] * 1.5)
+    if vs["jitter_grows_with_speed"]:
+        print("  + Jitter INCREASES with velocity "
+              "(fast objects jitter more, like near light speed)")
+    else:
+        print("  - Jitter does NOT increase with velocity")
+    print(f"  corr(log dt, log jitter) = "
+          f"{fr['dt_jitter_correlation']:+.3f} -> frame-rate lag "
+          f"{'CONFIRMED' if fr['lag_creates_jitter'] else 'not supported'}")
+    print(f"  corr(beta, jitter)       = "
+          f"{vs['beta_jitter_correlation']:+.3f} -> speed-jitter "
+          f"{'CONFIRMED' if vs['speed_creates_jitter'] else 'not supported'}")
 
 
 def main(argv=None):
@@ -129,11 +188,7 @@ def main(argv=None):
     fr = frame_rate_sweep(k1, quick=args.quick)
     vs = velocity_sweep(k2, quick=args.quick)
 
-    print("\nVERDICTS:")
-    print(f"  frame-rate lag -> jitter: "
-          f"{'CONFIRMED' if fr['lag_creates_jitter'] else 'not supported'}")
-    print(f"  speed -> jitter:          "
-          f"{'CONFIRMED' if vs['speed_creates_jitter'] else 'not supported'}")
+    print_analysis(fr, vs)
 
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)

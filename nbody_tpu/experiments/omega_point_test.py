@@ -97,10 +97,13 @@ def temporal_aliasing_test(quick: bool, seed: int) -> dict:
 
 
 def entropy_leak_test(quick: bool, seed: int) -> dict:
-    """(reference: omega_point_test.py:450-588)"""
+    """(reference: omega_point_test.py:450-588). Full mode runs the
+    reference's 50k-tick horizon — cheap here because the run is a fused
+    on-device scan (the whole point of the rebuild), where the
+    reference's host-loop engine needed hours."""
     print("\n--- OMEGA 3: ENTROPY LEAK (time to heat death) ---")
     n = 300 if quick else 600
-    ticks = 2000 if quick else 10000
+    ticks = 2000 if quick else 50000
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed), n)
     sim = DirectSimulation(pos, vel, m, precision=Precision.INT4_SIM)
     e0 = sim.get_total_energy()
@@ -176,6 +179,104 @@ def triple_point_hunter(bek, temporal, phase) -> dict:
     return {"breakdown_coordinates": coords, "analogies": analogies}
 
 
+PRECISION_BITS = {"float32": 32, "int8_sim": 8, "int4_sim": 4}
+
+# physical anchors (reference: omega_point_test.py:40-43, :984-1039)
+C_LIGHT = 2.998e8            # m/s
+PLANCK_TIME = 5.391e-44      # s
+PLANCK_LENGTH = 1.616e-35    # m
+FP32_MIN_SUBNORMAL = 1.4e-45
+
+
+def generate_reality_heatmap(cells, output_path) -> str:
+    """3-D stability map + the three 2-D projections
+    (reference: omega_point_test.py:915-977), rendered headless."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    print("\n  Generating reality heatmap...")
+    bits = [PRECISION_BITS.get(c["precision"], 32) for c in cells]
+    vels = [c["vel_mult"] for c in cells]
+    dens = [c["radius"] for c in cells]  # proxy axis: packing radius
+    drifts = [min(c["drift"] * 100, 100.0) for c in cells]
+    colors = ["#2ecc71" if c["stable"] else "#e74c3c" for c in cells]
+    sizes = [max(10, min(100, d)) for d in drifts]
+
+    fig = plt.figure(figsize=(16, 12))
+    ax1 = fig.add_subplot(2, 2, 1, projection="3d")
+    ax1.scatter(bits, vels, dens, c=colors, s=sizes, alpha=0.6)
+    ax1.set_xlabel("Precision (bits)")
+    ax1.set_ylabel("Velocity (x)")
+    ax1.set_zlabel("Packing radius")
+    ax1.set_title("Reality Stability Map\n(green=stable, red=unstable)")
+
+    for idx, (x, y, xl, yl) in enumerate(
+            [(bits, vels, "Precision (bits)", "Velocity (x)"),
+             (vels, dens, "Velocity (x)", "Packing radius"),
+             (bits, dens, "Precision (bits)", "Packing radius")],
+            start=2):
+        ax = fig.add_subplot(2, 2, idx)
+        sc = ax.scatter(x, y, c=drifts, cmap="hot", s=50, alpha=0.7)
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        fig.colorbar(sc, ax=ax, label="Energy drift %")
+    fig.suptitle("OMEGA POINT - Reality Phase Space", fontweight="bold")
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=120)
+    plt.close(fig)
+    print(f"  saved to {output_path}")
+    return str(output_path)
+
+
+def generate_physical_comparison(bek, temporal, entropy, phase) -> dict:
+    """Simulation breakdown limits vs physical constants
+    (reference: omega_point_test.py:984-1039)."""
+    max_stable_v = max((c["vel_mult"] for c in phase["cells"]
+                        if c["stable"]), default=0.0)
+    comparison = {
+        "Max Velocity": {
+            "simulation_value": f"{max_stable_v:.1f}x stable ceiling",
+            "physical_equivalent": "Speed of light (c)",
+            "physical_value": f"{C_LIGHT:.2e} m/s",
+        },
+        "Time Step (dt)": {
+            "simulation_value": (f"{temporal['critical_dt']:.4f} units"
+                                 if temporal.get("critical_dt")
+                                 else "no breakdown found"),
+            "physical_equivalent": "Planck time (t_p)",
+            "physical_value": f"{PLANCK_TIME:.2e} s",
+        },
+        "Min Precision": {
+            "simulation_value": f"{FP32_MIN_SUBNORMAL:.2e} (f32 subnormal)",
+            "physical_equivalent": "Planck length (l_p)",
+            "physical_value": f"{PLANCK_LENGTH:.2e} m",
+            "ratio": f"{FP32_MIN_SUBNORMAL / PLANCK_LENGTH:.2e}",
+        },
+        "Ghost Energy Rate": {
+            "simulation_value": f"{entropy['rate_per_tick']:.2e}/tick",
+            "physical_equivalent": "Dark energy",
+            "physical_value": "68% of universe",
+            "sim_equivalent": (
+                f"{min(entropy['rate_per_tick'] * 1e4, 10.0):.2%} of "
+                "initial energy per 10k ticks"),
+        },
+        "Max Density": {
+            "simulation_value": (
+                f"{bek['collapse_density']:.0f} stars/unit^2 collapse"
+                if bek.get("collapse_density")
+                else "no throughput collapse found"),
+            "physical_equivalent": "Bekenstein bound",
+            "physical_value": "S <= 2*pi*R*E/(hbar*c)",
+        },
+    }
+    print("\n--- PHYSICAL CONSTANTS COMPARISON ---")
+    for k, row in comparison.items():
+        print(f"  {k:18s}: {row['simulation_value']:36s} <-> "
+              f"{row['physical_equivalent']} ({row['physical_value']})")
+    return comparison
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Omega point: breakdown map")
     p.add_argument("--quick", action="store_true")
@@ -192,6 +293,12 @@ def main(argv=None):
     phase = phase_space_scanner(args.quick, args.seed)
     triple = triple_point_hunter(bek, temporal, phase)
 
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    heatmap = generate_reality_heatmap(phase["cells"],
+                                       out / "reality_heatmap.png")
+    constants = generate_physical_comparison(bek, temporal, entropy, phase)
+
     # simulation-probability score (reference: :1046-1183): fraction of
     # probes that found sharp, constant-like breakdown boundaries.
     findings = [
@@ -207,9 +314,9 @@ def main(argv=None):
     report = {"bekenstein": bek, "temporal_aliasing": temporal,
               "entropy_leak": entropy, "phase_space": phase,
               "triple_point": triple,
+              "physical_comparison": constants,
+              "reality_heatmap": heatmap,
               "simulation_probability": prob}
-    out = Path(args.output)
-    out.mkdir(parents=True, exist_ok=True)
     (out / "omega_point_report.json").write_text(
         json.dumps(report, indent=2, default=str))
 

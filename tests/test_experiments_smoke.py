@@ -76,9 +76,11 @@ def test_jitter_measure():
     from nbody_tpu.models.galaxy import create_disk_galaxy
 
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(0), 48)
-    pj, vj = jitter_test.measure_jitter(pos, vel, m, dt=0.01,
-                                        total_time=0.5, num_samples=10)
+    pj, vj, drift = jitter_test.measure_jitter(pos, vel, m, dt=0.01,
+                                               total_time=0.5,
+                                               num_samples=10)
     assert pj >= 0 and vj >= 0
+    assert abs(drift) < 100.0  # f32 short run: bounded energy drift
 
 
 def test_density_scaling_analysis():
@@ -160,3 +162,21 @@ def test_ultimate_structures():
                        precision="float32", n_grid=16)
     s = e.detect_structures(n_grid=8)
     assert 0.0 <= s["void_fraction"] <= 1.0
+
+
+def test_omega_heatmap_and_constants(tmp_path):
+    from nbody_tpu.experiments import omega_point_test as omega
+
+    cells = [{"precision": "float32", "vel_mult": 1.0, "radius": 10.0,
+              "drift": 0.01, "stable": True},
+             {"precision": "int4_sim", "vel_mult": 20.0, "radius": 2.0,
+              "drift": 5.0, "stable": False}]
+    path = omega.generate_reality_heatmap(cells, tmp_path / "heat.png")
+    assert (tmp_path / "heat.png").exists()
+    table = omega.generate_physical_comparison(
+        {"collapse_density": 150.0}, {"critical_dt": 0.5},
+        {"rate_per_tick": 1e-5}, {"cells": cells})
+    assert set(table) == {"Max Velocity", "Time Step (dt)",
+                          "Min Precision", "Ghost Energy Rate",
+                          "Max Density"}
+    assert "Planck time" in table["Time Step (dt)"]["physical_equivalent"]
