@@ -181,6 +181,29 @@ def f16_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(x), x, out)
 
 
+def bf16_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> bf16 -> f32 value emulation via integer RNE rounding.
+
+    A native ``astype(bfloat16).astype(float32)`` round-trip can be
+    ELIDED by XLA under ``--xla_allow_excess_precision`` (set by this
+    box's TPU terminal), and the elision is not applied uniformly: the
+    on-chip parity gate (tools/tpu_parity.py) caught the dense jnp path
+    keeping f32 precision while the Mosaic kernel genuinely rounded —
+    the bfloat16 precision mode silently meant different physics on
+    different paths. The integer emulation (round-to-nearest-even of the
+    low 16 mantissa bits; bf16 shares f32's exponent so there is no
+    overflow/subnormal boundary to special-case beyond NaN) cannot be
+    elided and is bit-identical across dense/tiled/Pallas.
+    """
+    x = x.astype(jnp.float32)
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    bias = ((xi >> 16) & jnp.uint32(1)) + jnp.uint32(0x7FFF)
+    rounded = (xi + bias) & jnp.uint32(0xFFFF0000)
+    out = jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    # NaN mantissas could carry into the exponent (-> inf); pass through.
+    return jnp.where(jnp.isnan(x), x, out)
+
+
 # --------------------------------------------------------------------------
 # Grid quantizers
 # --------------------------------------------------------------------------
@@ -240,7 +263,7 @@ def quantize_distance_squared(dist_sq: jnp.ndarray, q: Quantizer,
     the optional precomputed global log bounds for tiled execution.
     """
     if q.mode == Precision.BFLOAT16:
-        return dist_sq.astype(jnp.bfloat16).astype(dist_sq.dtype)
+        return bf16_roundtrip(dist_sq)
     if q.mode == Precision.FLOAT16:
         return f16_roundtrip(dist_sq)
     if q.is_int:
@@ -257,7 +280,7 @@ def quantize_force(force: jnp.ndarray, q: Quantizer,
     deliberately uses the unsafe variant on forces).
     """
     if q.mode == Precision.BFLOAT16:
-        return force.astype(jnp.bfloat16).astype(force.dtype)
+        return bf16_roundtrip(force)
     if q.mode == Precision.FLOAT16:
         return f16_roundtrip(force)
     if q.is_int:

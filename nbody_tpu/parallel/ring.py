@@ -105,17 +105,47 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
     return jnp.einsum("bm,bmd->bd", factor, diff)
 
 
-def _ring_max_d2(pos_local, ids_local, n_total, cfg):
-    """Global max pairwise dist^2 via a max-reduction ring pass."""
+def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
+    """Global max pairwise dist^2 via a max-reduction ring pass.
+
+    Row-blocked: the per-step pair tile is (row_block, B), never (B, B) —
+    a full broadcast tile at production shard sizes is HBM-infeasible
+    (131k^2 f32 = 68 GB on a mesh of 1). Both sides of each tile mask
+    their padded entries (d2 -> 0) exactly as the reference bounds span
+    only the real (N, N) tensor."""
     axis_size = jax.lax.psum(1, AXIS)
+    b, dim = pos_local.shape
+    rb = min(row_block, b)
+    pad = (-b) % rb
+    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
+    vi = jnp.pad(ids_local < n_total, (0, pad))
+    row_blocks = (pos_i.reshape(-1, rb, dim), vi.reshape(-1, rb))
+
+    use_pallas = (jax.default_backend() == "tpu" and b >= 1024)
+    if use_pallas:
+        from nbody_tpu.ops.pallas_nbody import pallas_pair_max
 
     def step(s, carry):
         best, pos_j, ids_j = carry
-        diff = pos_j[None, :, :] - pos_local[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
-        valid = jnp.logical_and(ids_local[:, None] < n_total,
-                                ids_j[None, :] < n_total)
-        best = jnp.maximum(best, jnp.max(jnp.where(valid, d2, 0.0)))
+        if use_pallas:
+            step_best = pallas_pair_max(
+                pos_local, pos_j, ids_local < n_total, ids_j < n_total,
+                block_i=min(512, _round_up(b, 8)),
+                block_j=min(2048, _round_up(b, 128)))
+        else:
+            valid_j = (ids_j < n_total)[None, :]
+
+            def tile(args):
+                p_i, v_i = args
+                diff = pos_j[None, :, :] - p_i[:, None, :]
+                d2 = jnp.sum(diff * diff, axis=-1)
+                return jnp.max(jnp.where(v_i[:, None] & valid_j, d2, 0.0))
+
+            if row_blocks[0].shape[0] == 1:
+                step_best = tile((row_blocks[0][0], row_blocks[1][0]))
+            else:
+                step_best = jnp.max(jax.lax.map(tile, row_blocks))
+        best = jnp.maximum(best, step_best)
         perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
         pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
         ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
@@ -380,10 +410,17 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
     return fn(pos, m, ids)
 
 
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
+                                             "quantize_forces",
+                                             "tile_impl"))
 def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                        mesh: Mesh, quantize_forces: bool = False,
                        tile_impl: str = "auto"):
-    """One sharded force evaluation (library entry for tests/benchmarks)."""
+    """One sharded force evaluation (library entry for tests/benchmarks).
+
+    Module-level jit: an unjitted shard_map closure would retrace AND
+    recompile on every call (measured ~4 s/call through this box's
+    remote-compile service at N=131k)."""
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
     pos = _pad_to_shards(positions, n_shards)

@@ -214,3 +214,26 @@ def test_sym_dynamic_softening_matches_static():
     a_static = pallas_accelerations_sym(pos, m, q, CFG, block=128)
     np.testing.assert_allclose(np.asarray(a_dyn), np.asarray(a_static),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_pair_max_masked():
+    """Ring max-pass tile: masked pair max between disjoint sets matches
+    the dense masked computation (validity travels with the data)."""
+    from nbody_tpu.ops.pallas_nbody import pallas_pair_max
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    recv = jax.random.normal(k1, (200, 2)) * 7.0
+    src = jax.random.normal(k2, (300, 2)) * 7.0
+    vi = jnp.arange(200) < 150   # last 50 receivers padding
+    vj = jnp.arange(300) < 250   # last 50 sources padding
+    got = float(pallas_pair_max(recv, src, vi, vj,
+                                block_i=64, block_j=128))
+    diff = src[None, :, :] - recv[:, None, :]
+    d2 = jnp.sum(diff * diff, -1)
+    want = float(jnp.max(jnp.where(vi[:, None] & vj[None, :], d2, 0.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # all-invalid receivers -> 0 (the all-padding-shard edge case)
+    zero = float(pallas_pair_max(recv, src, jnp.zeros(200, bool), vj,
+                                 block_i=64, block_j=128))
+    assert zero == 0.0

@@ -166,3 +166,24 @@ def test_f16_roundtrip_emulation_matches_cast():
     want = vals.astype(np.float16).astype(np.float32)
     got = np.asarray(P.f16_roundtrip(jnp.asarray(vals)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_bf16_roundtrip_matches_astype():
+    """Bit-exact equivalence with the native cast (on CPU, where XLA's
+    excess-precision elision does not kick in); the emulation exists
+    because on TPU the native round-trip CAN be elided, which the
+    on-chip parity gate caught as a cross-path physics difference."""
+    from nbody_tpu.ops.precision import bf16_roundtrip
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32) * 10 ** rng.integers(
+            -30, 30, 4096).astype(np.float32),
+        np.array([0.0, -0.0, 1e-40, -1e-40, 3.4e38, -3.4e38,
+                  np.inf, -np.inf], np.float32),
+    ])
+    got = np.asarray(bf16_roundtrip(jnp.asarray(vals)))
+    want = vals.astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+    # NaN passthrough
+    assert np.isnan(np.asarray(bf16_roundtrip(jnp.float32(np.nan))))
