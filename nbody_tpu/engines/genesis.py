@@ -160,6 +160,12 @@ def main(argv=None):
     p.add_argument("--precision", type=str, default="float32")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", type=str, default="output/genesis")
+    p.add_argument("--animate", action="store_true",
+                   help="rotating live dashboard instead of periodic "
+                        "PNG frames (gif when headless)")
+    p.add_argument("--mesh", action="store_true",
+                   help="run the sharded PM pipeline over all local "
+                        "devices (parallel/pm_sharded.py)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -170,13 +176,25 @@ def main(argv=None):
     for info in GENESIS_TIMELINE:
         print(f"  {info.name:24s} z={info.redshift:<12} {info.time_desc}")
 
+    mesh = None
+    if args.mesh:
+        from nbody_tpu.parallel import ring
+
+        mesh = ring.make_particle_mesh()
+        print(f"sharded PM over {mesh.shape[ring.AXIS]} device(s)")
     u = UniverseGenesis(num_particles=args.particles,
                         box_size_mpc=args.box_size,
                         start_redshift=args.start_z,
-                        precision=args.precision, seed=args.seed)
+                        precision=args.precision, seed=args.seed,
+                        mesh=mesh)
     from nbody_tpu.engines.dashboard3d import Dashboard3D
 
     dash = Dashboard3D(u, args.output)
+    if args.animate:
+        path = dash.animate(dz=args.dz, steps_per_frame=10, frames=20)
+        if path:
+            print(f"animation written to {path}")
+        return
     t0 = time.time()
     frames = 0
     while not u.completed:

@@ -163,6 +163,9 @@ def main(argv=None):
     p.add_argument("--precision", type=str, default="float32")
     p.add_argument("--dm-ratio", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh", action="store_true",
+                   help="run the sharded PM pipeline over all local "
+                        "devices (parallel/pm_sharded.py)")
     p.add_argument("--output", type=str, default="output/universe2d")
     p.add_argument("--frames", type=int, default=5,
                    help="dashboard frames to render across the run")
@@ -180,9 +183,15 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
+    mesh = None
+    if args.mesh:
+        from nbody_tpu.parallel import ring as _ring
+
+        mesh = _ring.make_particle_mesh()
+        print(f"sharded PM over {mesh.shape[_ring.AXIS]} device(s)")
     u = Universe2D(num_particles=args.particles, box_size_mpc=args.box_size,
                    start_redshift=args.start_z, precision=args.precision,
-                   dm_ratio=args.dm_ratio, seed=args.seed)
+                   dm_ratio=args.dm_ratio, seed=args.seed, mesh=mesh)
     ckpt = None
     if args.checkpoint_dir:
         from nbody_tpu.utils.checkpoint import CheckpointManager

@@ -249,6 +249,9 @@ def main(argv=None):
     p.add_argument("--precision", type=str, default="float32")
     p.add_argument("--dm-ratio", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh", action="store_true",
+                   help="run the sharded PM pipeline over all local "
+                        "devices (parallel/pm_sharded.py)")
     p.add_argument("--output", type=str, default="output/universe3d")
     p.add_argument("--probes", action="store_true",
                    help="run substrate/collision/IRL probes after evolution")
@@ -268,9 +271,15 @@ def main(argv=None):
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
 
+    mesh = None
+    if args.mesh:
+        from nbody_tpu.parallel import ring as _ring
+
+        mesh = _ring.make_particle_mesh()
+        print(f"sharded PM over {mesh.shape[_ring.AXIS]} device(s)")
     u = Universe3D(num_particles=args.particles, box_size_mpc=args.box_size,
                    start_redshift=args.start_z, precision=args.precision,
-                   dm_ratio=args.dm_ratio, seed=args.seed)
+                   dm_ratio=args.dm_ratio, seed=args.seed, mesh=mesh)
     from nbody_tpu.engines.dashboard3d import Dashboard3D
 
     dash = Dashboard3D(u, args.output)
