@@ -243,12 +243,18 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
                              cfg: SimConfig, quantize_forces: bool = True,
                              block: int = 512,
                              interpret: bool | None = None,
-                             softening_sq=None):
+                             softening_sq=None,
+                             log_lo=None, log_hi=None, gm=None):
     """Symmetric-pair variant of pallas_accelerations: ~2x fewer pair
     evaluations via Newton's third law. Same semantics (the reference
     evaluates the full (N, N) tensor, simulation.py:83-112; this computes
     identical sums with a different, still-deterministic association
-    order — f32 rounding-level deltas only)."""
+    order — f32 rounding-level deltas only).
+
+    ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
+    (the half-ring schedule owns the global ring-wide bounds and uses
+    this kernel for the diagonal shard block); ``gm`` optionally supplies
+    precomputed G*m in place of ``masses``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dynamic_soft = softening_sq is not None
@@ -259,7 +265,8 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     n_pad = _round_up(max(n, block), math.lcm(block, 128))
 
     positions = positions.astype(jnp.float32)
-    gm = cfg.G * masses.astype(jnp.float32)
+    if gm is None:
+        gm = cfg.G * masses.astype(jnp.float32)
     pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
     gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
     # Receiver blocks carry their G*m as an extra sublane-major column;
@@ -269,11 +276,14 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
 
     soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
-        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
-                                    softening_sq=softening_sq)
-        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
+        if log_lo is None or log_hi is None:
+            max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
+                                        softening_sq=softening_sq)
+            log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
         bounds = jnp.stack(
-            [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
+            [jnp.asarray(log_lo, jnp.float32),
+             jnp.asarray(log_hi, jnp.float32),
+             soft]).reshape(1, 3).astype(jnp.float32)
     else:
         bounds = jnp.stack(
             [jnp.float32(0), jnp.float32(0), soft]).reshape(1, 3)
@@ -319,6 +329,152 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     if quantize_forces and q.is_int:
         acc = quantize_force(acc, q)
     return acc
+
+
+def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
+                           out_col_ref, *, q: Quantizer, dim: int,
+                           block_i: int, block_j: int, nj_pad: int):
+    """Newton's-third-law pair tile for two DISJOINT particle sets.
+
+    The half-ring schedule's per-step tile (parallel/ring.py): receivers
+    are the device-resident block, sources the visiting block. Each pair's
+    expensive work (d^2, quantize chain, inverse-cube) runs once; the
+    direct force accumulates into the receiver rows while the reaction
+    (-G*m_i * w * diff) accumulates into a lane-major (D, NJ_pad) column
+    buffer that rides back around the ring to the sources' home device.
+
+    recv_ref: (BI, D+1) — receiver coords + a G*m_i column (sublane-major)
+    src_ref:  (D+1, NJ_pad) — source coords + G*m_j row (lane-major)
+    out_row_ref: (BI, D) receiver accelerations
+    out_col_ref: (D, NJ_pad) source reactions, shared across grid steps
+    """
+    pid = pl.program_id(0)
+    num_j = nj_pad // block_j
+
+    @pl.when(pid == 0)
+    def _init_cols():
+        out_col_ref[...] = jnp.zeros_like(out_col_ref)
+
+    xi = [recv_ref[:, d:d + 1] for d in range(dim)]
+    gm_i = recv_ref[:, dim:dim + 1]  # (BI, 1)
+
+    log_lo = bounds_ref[0, 0]
+    log_hi = bounds_ref[0, 1]
+    softening_sq = bounds_ref[0, 2]
+
+    if q.is_int:
+        lvl = float(q.levels - 1)
+        safe_span = jnp.maximum(log_hi - log_lo, 1e-10)
+        norm_a = lvl / safe_span
+        norm_b = -log_lo * norm_a
+        arg_k = -1.5 * safe_span / lvl
+        arg_0 = -1.5 * log_lo
+        arg_cap = -1.5 * math.log(q.min_dist_sq)
+
+    def j_chunk(jc, acc):
+        j0 = jc * block_j
+        xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
+        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]  # (1, BJ)
+        diffs = [xj[d] - xi[d] for d in range(dim)]
+        d2 = diffs[0] * diffs[0]
+        for d in range(1, dim):
+            d2 = d2 + diffs[d] * diffs[d]
+        d2 = d2 + softening_sq
+        if q.is_int:
+            log_d2 = jnp.log(jnp.maximum(d2, q.min_dist_sq))
+            k = jnp.round(log_d2 * norm_a + norm_b)
+            arg = jnp.minimum(k * arg_k + arg_0, arg_cap)
+            w = jnp.exp(arg)
+        else:
+            d2q = quantize_distance_squared(d2, q)
+            inv_d = jax.lax.rsqrt(d2q)
+            w = inv_d * inv_d * inv_d
+        fr = gm_j * w                       # direct: receiver rows
+        fc = gm_i * w                       # reaction: source cols
+        for d in range(dim):
+            col = -jnp.sum(fc * diffs[d], axis=0, keepdims=True)  # (1, BJ)
+            out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
+        return tuple(
+            acc[d] + jnp.sum(fr * diffs[d], axis=1, keepdims=True)
+            for d in range(dim)
+        )
+
+    acc0 = tuple(jnp.zeros((block_i, 1), jnp.float32) for _ in range(dim))
+    acc = jax.lax.fori_loop(0, num_j, j_chunk, acc0)
+    for d in range(dim):
+        out_row_ref[:, d:d + 1] = acc[d]
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "block_i",
+                                             "block_j", "interpret"))
+def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
+                          q: Quantizer, cfg: SimConfig,
+                          log_lo=None, log_hi=None,
+                          block_i: int = 512, block_j: int = 512,
+                          interpret: bool | None = None):
+    """Pair forces between two disjoint sets with Newton's-third-law reuse.
+
+    Returns ``(acc_recv, acc_src_reaction)`` — the accelerations of the
+    receivers due to the sources AND the reactions on the sources due to
+    the receivers, from one pass over the pair tile. Requires
+    softening > 0 (coincident pairs then contribute exactly zero; the
+    ring caller falls back to the masked jnp tile otherwise).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_i, dim = receivers.shape
+    n_j = sources.shape[0]
+    ni_pad = _round_up(max(n_i, block_i), block_i)
+    nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
+
+    recv = jnp.zeros((ni_pad, dim + 1), jnp.float32)
+    recv = recv.at[:n_i, :dim].set(receivers.astype(jnp.float32))
+    recv = recv.at[:n_i, dim].set(gm_recv.astype(jnp.float32))
+    src = jnp.zeros((dim + 1, nj_pad), jnp.float32)
+    src = src.at[:dim, :n_j].set(sources.astype(jnp.float32).T)
+    src = src.at[dim, :n_j].set(gm_src.astype(jnp.float32))
+
+    soft = jnp.asarray(cfg.softening_sq, jnp.float32)
+    if q.is_int:
+        if log_lo is None or log_hi is None:
+            raise ValueError("int-sim modes need global log bounds from "
+                             "the ring max pass")
+        bounds = jnp.stack([jnp.asarray(log_lo, jnp.float32),
+                            jnp.asarray(log_hi, jnp.float32),
+                            soft]).reshape(1, 3)
+    else:
+        bounds = jnp.stack([jnp.float32(0), jnp.float32(0),
+                            soft]).reshape(1, 3)
+
+    kernel = functools.partial(
+        _pair_force_sym_kernel, q=q, dim=dim,
+        block_i=block_i, block_j=block_j, nj_pad=nj_pad)
+    rows, cols = pl.pallas_call(
+        kernel,
+        grid=(ni_pad // block_i,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dim + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim + 1, nj_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_i, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, nj_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ni_pad, dim), jnp.float32),
+            jax.ShapeDtypeStruct((dim, nj_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, recv, src)
+    return rows[:n_i], cols.T[:n_j]
 
 
 def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,

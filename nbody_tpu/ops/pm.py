@@ -140,6 +140,65 @@ def cic_gather(grids, positions, n_grid: int, box_size: float):
     return out
 
 
+def ngp_gather_slab(grids_slab, positions, n_grid: int, box_size: float,
+                    slab_start):
+    """Partial NGP gather from a local x-slab of each gradient grid.
+
+    ``grids_slab``: D arrays of shape (slab, n_grid, ...) — the rows
+    [slab_start, slab_start + slab) of the full grids. Returns the (N, D)
+    contributions of cells INSIDE this slab (zero elsewhere) for ALL
+    particles; summing the partials across slabs (psum / psum_scatter)
+    reconstructs the full gather. This is the large-grid distributed-PM
+    gather: the D full gradient grids (D * n_grid^dim floats) never
+    replicate — only (N, D) particle rows cross the interconnect.
+    """
+    dim = positions.shape[1]
+    slab = grids_slab[0].shape[0]
+    ij = jnp.floor(positions / box_size * n_grid).astype(jnp.int32) % n_grid
+    row = ij[:, 0]
+    in_slab = (row >= slab_start) & (row < slab_start + slab)
+    local = jnp.clip(row - slab_start, 0, slab - 1)
+    for d in range(1, dim):
+        local = local * n_grid + ij[:, d]
+    cols = [jnp.take(g.reshape(-1), local, mode="clip")
+            for g in grids_slab]
+    out = jnp.stack(cols, axis=-1)
+    return jnp.where(in_slab[:, None], out, 0.0)
+
+
+def cic_gather_slab(grids_slab, positions, n_grid: int, box_size: float,
+                    slab_start):
+    """Partial CIC (trilinear) gather from a local x-slab of each grid.
+
+    Same contract as ngp_gather_slab: each of the 2^D stencil corners
+    contributes iff its x-row lives in this slab, so cross-slab particles
+    are completed by the psum across slabs.
+    """
+    dim = positions.shape[1]
+    slab = grids_slab[0].shape[0]
+    u = positions / box_size * n_grid - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+
+    out = jnp.zeros((positions.shape[0], dim), jnp.float32)
+    for corner in range(2 ** dim):
+        offs = [(corner >> d) & 1 for d in range(dim)]
+        w = jnp.ones(positions.shape[0], jnp.float32)
+        row = (i0[:, 0] + offs[0]) % n_grid
+        in_slab = (row >= slab_start) & (row < slab_start + slab)
+        local = jnp.clip(row - slab_start, 0, slab - 1)
+        w = w * jnp.where(offs[0] == 1, frac[:, 0], 1.0 - frac[:, 0])
+        for d in range(1, dim):
+            o = offs[d]
+            idx = (i0[:, d] + o) % n_grid
+            w = w * jnp.where(o == 1, frac[:, d], 1.0 - frac[:, d])
+            local = local * n_grid + idx
+        vals = jnp.stack([jnp.take(g.reshape(-1), local, mode="clip")
+                          for g in grids_slab], axis=-1)
+        out = out + jnp.where(in_slab[:, None], w[:, None] * vals, 0.0)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size",
                                              "num_bins"))
 def power_spectrum(positions, box_size: float, n_grid: int = 64,

@@ -155,24 +155,47 @@ def _deposit_scattered(positions, masses, valid, cfg: PMConfig, mesh: Mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
-                                             "quantize_forces"))
+                                             "quantize_forces",
+                                             "gather_mode"))
 def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
                              cfg: PMConfig, mesh: Mesh,
-                             quantize_forces: bool = True):
+                             quantize_forces: bool = True,
+                             gather_mode: str = "auto"):
     """Large-grid sharded PM: the WHOLE pipeline under the mesh.
 
     deposit (reduce-scatter to x-slabs) -> distributed FFT Poisson solve
     with the quantized-|k|^2 hook (grid stays sharded; XLA inserts the
-    FFT transpose collectives) -> spectral gradients -> gather of the
-    replicated gradient grids at each device's particle shard. This is
-    the n_grid >= 256 path SURVEY §2.5 calls for; the replicated-grid
-    variant (run_pm_steps_sharded) stays the fast path for small grids.
+    FFT transpose collectives) -> spectral gradients -> particle gather.
+    This is the n_grid >= 256 path SURVEY §2.5 calls for; the
+    replicated-grid variant (run_pm_steps_sharded) stays the fast path
+    for small grids.
+
+    ``gather_mode`` controls the gradient-grid -> particle interpolation
+    routing:
+
+    * ``"replicate"``: all D gradient grids replicate over ICI
+      (D * n_grid^dim floats per force evaluation), then a purely local
+      per-shard gather;
+    * ``"slab"``: the grids STAY slab-sharded; every device all-gathers
+      the (N, D) positions, interpolates the stencil corners that land in
+      its own slab (ops/pm.{ngp,cic}_gather_slab), and a tiled
+      ``psum_scatter`` over the particle axis both completes cross-slab
+      stencils and delivers each device exactly its particle shard.
+      Interconnect traffic: 2 * N * D floats instead of D * n_grid^dim —
+      at 512^3 with 1M particles that is ~65x less;
+    * ``"auto"``: slab when the grid outweighs the particle rows.
 
     Same schedule/integration semantics as engines.cosmo.run_pm_steps
     (reference: universe_2d.py:1196-1209).
     """
     n_total = state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
+
+    if gather_mode == "auto":
+        gather_mode = ("slab" if cfg.n_grid ** cfg.dim > 2 * n_total
+                       else "replicate")
+    if gather_mode == "slab" and cfg.n_grid % n_shards:
+        raise ValueError("slab gather needs n_grid divisible by the mesh")
 
     pos = _pad_to_shards(state.positions, n_shards)
     vel = _pad_to_shards(state.velocities, n_shards)
@@ -201,20 +224,48 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
         # GSPMD inserts the all-to-all transposes over ICI.
         grids = pm.poisson_accel_grids(density, cfg.box_size, cfg.n_grid,
                                        q, cfg.G, scale, cfg.dim)
-        # Gradient grids replicate for the purely-local particle gather
-        # (D * grid floats over ICI per evaluation). The gather itself
-        # runs per particle shard under shard_map (a global-view take of
-        # a replicated grid at sharded indices has no unambiguous
-        # explicit out-sharding).
-        grids = [jax.sharding.reshard(g, repl) for g in grids]
-        acc = shard_map(
-            lambda p_l, *gs: gather(list(gs), p_l, cfg.n_grid,
-                                    cfg.box_size),
-            mesh=mesh,
-            in_specs=(P(AXIS),) + (P(),) * cfg.dim,
-            out_specs=P(AXIS),
-            check_vma=False,
-        )(p, *grids)
+        if gather_mode == "slab":
+            # Slab-routed gather: grids stay sharded; positions all-gather
+            # (N*D floats), each device interpolates the stencil corners
+            # inside its slab, and the tiled psum_scatter over the
+            # particle axis completes cross-slab stencils AND returns
+            # exactly this device's particle shard.
+            grids = [jax.sharding.reshard(g, grid_shard) for g in grids]
+            gather_slab = (pm.cic_gather_slab if cfg.deposit == "cic"
+                           else pm.ngp_gather_slab)
+            slab = cfg.n_grid // n_shards
+
+            def slab_body(p_l, *slabs):
+                p_full = jax.lax.all_gather(p_l, AXIS, tiled=True)
+                start = jax.lax.axis_index(AXIS) * slab
+                part = gather_slab(list(slabs), p_full, cfg.n_grid,
+                                   cfg.box_size, start)
+                return jax.lax.psum_scatter(part, AXIS,
+                                            scatter_dimension=0,
+                                            tiled=True)
+
+            acc = shard_map(
+                slab_body, mesh=mesh,
+                in_specs=(P(AXIS),) + (P(AXIS, *([None] * (cfg.dim - 1))),
+                                       ) * cfg.dim,
+                out_specs=P(AXIS),
+                check_vma=False,
+            )(p, *grids)
+        else:
+            # Gradient grids replicate for the purely-local particle
+            # gather (D * grid floats over ICI per evaluation). The gather
+            # itself runs per particle shard under shard_map (a
+            # global-view take of a replicated grid at sharded indices has
+            # no unambiguous explicit out-sharding).
+            grids = [jax.sharding.reshard(g, repl) for g in grids]
+            acc = shard_map(
+                lambda p_l, *gs: gather(list(gs), p_l, cfg.n_grid,
+                                        cfg.box_size),
+                mesh=mesh,
+                in_specs=(P(AXIS),) + (P(),) * cfg.dim,
+                out_specs=P(AXIS),
+                check_vma=False,
+            )(p, *grids)
         acc = acc * valid[:, None]
         if quantize_forces and q.mode in (Precision.INT4_SIM,
                                           Precision.INT8_SIM):

@@ -112,7 +112,11 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
     a full broadcast tile at production shard sizes is HBM-infeasible
     (131k^2 f32 = 68 GB on a mesh of 1). Both sides of each tile mask
     their padded entries (d2 -> 0) exactly as the reference bounds span
-    only the real (N, N) tensor."""
+    only the real (N, N) tensor.
+
+    Half-ring sweep: dist^2 is symmetric and the result is pmax'd across
+    the mesh, so block pair {a, b} only needs ONE of the two devices to
+    visit it — S//2 + 1 ring steps instead of S."""
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
     rb = min(row_block, b)
@@ -152,7 +156,8 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
         return best, pos_j, ids_j
 
     best, _, _ = jax.lax.fori_loop(
-        0, axis_size, step, (jnp.float32(0.0), pos_local, ids_local))
+        0, axis_size // 2 + 1, step,
+        (jnp.float32(0.0), pos_local, ids_local))
     return jax.lax.pmax(best, AXIS) + cfg.softening_sq
 
 
@@ -261,6 +266,146 @@ def _ring_accelerations_local(pos_local, gm_local, ids_local, n_total,
     return acc
 
 
+def _resolve_tile_impl(tile_impl: str, shard_size: int,
+                       cfg: SimConfig) -> str:
+    if cfg.softening_sq <= 0.0:
+        # unsoftened self-pairs need the id mask (inf * 0 = NaN otherwise)
+        return "jnp"
+    if tile_impl == "auto":
+        return ("pallas" if jax.default_backend() == "tpu"
+                and shard_size >= 1024 else "jnp")
+    return tile_impl
+
+
+def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
+                    log_lo, log_hi, impl: str):
+    """Newton's-third-law pair tile between two disjoint blocks.
+
+    Returns ``(acc_on_i, reaction_on_j)`` from ONE evaluation of the pair
+    weights — the per-step tile of the half-ring schedule. ``impl`` must
+    already be resolved ('pallas' | 'jnp')."""
+    if impl == "pallas":
+        from nbody_tpu.ops.pallas_nbody import pallas_pair_force_sym
+
+        return pallas_pair_force_sym(
+            xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
+            block_i=min(512, _round_up(xi.shape[0], 8)),
+            block_j=min(512, _round_up(xj.shape[0], 128)))
+    diff = xj[None, :, :] - xi[:, None, :]  # (Bi, Bj, D)
+    d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+    d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
+    inv_d = jax.lax.rsqrt(d2q.astype(jnp.float32))
+    w = inv_d * inv_d * inv_d
+    w = jnp.where(ids_i[:, None] == ids_j[None, :], 0.0, w)
+    acc_i = jnp.einsum("bm,bmd->bd", gm_j[None, :] * w, diff)
+    reac_j = -jnp.einsum("bm,bmd->md", gm_i[:, None] * w, diff)
+    return acc_i, reac_j
+
+
+def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
+                                  q: Quantizer, cfg: SimConfig,
+                                  quantize_forces: bool,
+                                  tile_impl: str = "auto"):
+    """Half-ring Newton's-third-law schedule: every unordered pair once.
+
+    The plain ring (``_ring_accelerations_local``) rotates source blocks
+    through all S positions, evaluating every ordered pair — reaction
+    reuse cannot cross shard boundaries there because the partner lives
+    on another device. This schedule closes that gap: source blocks
+    travel only HALF way around the ring (S//2 hops), each visited tile
+    is evaluated once for both its direct and reaction forces
+    (ops/pallas_nbody.pallas_pair_force_sym), and the reaction
+    accumulator rides along with the traveling block; one final
+    ``ppermute`` by -S//2 delivers every block's reactions home. The
+    diagonal block uses the single-device symmetric kernel. Total pair
+    work: ~N^2/2 evaluations ring-wide vs the plain ring's N^2.
+
+    For an even ring, the half-distance step is seen from both ends;
+    only the lower half of the ring computes it (lax.cond — the skipped
+    devices genuinely idle rather than compute-and-mask).
+    """
+    axis_size = jax.lax.psum(1, AXIS)
+    my = jax.lax.axis_index(AXIS)
+
+    if q.is_int:
+        max_d2 = _ring_max_d2(pos_local, ids_local, n_total, cfg)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+    else:
+        log_lo = log_hi = None
+
+    impl = _resolve_tile_impl(tile_impl, pos_local.shape[0], cfg)
+
+    # Diagonal (resident) block: intra-shard pairs, Newton-halved by the
+    # single-device symmetric kernel when on TPU.
+    if impl == "pallas":
+        from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+
+        acc = pallas_accelerations_sym(
+            pos_local, None, q, cfg, quantize_forces=False,
+            block=min(512, _round_up(pos_local.shape[0], 8)),
+            log_lo=log_lo, log_hi=log_hi, gm=gm_local)
+    else:
+        acc = _tile_force(pos_local, ids_local, pos_local, gm_local,
+                          ids_local, q, cfg, log_lo, log_hi, impl="jnp")
+
+    half = axis_size // 2
+    perm_fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def rotate(pos_j, gm_j, ids_j, racc):
+        pos_j = jax.lax.ppermute(pos_j, AXIS, perm_fwd)
+        gm_j = jax.lax.ppermute(gm_j, AXIS, perm_fwd)
+        ids_j = jax.lax.ppermute(ids_j, AXIS, perm_fwd)
+        racc = jax.lax.ppermute(racc, AXIS, perm_fwd)
+        return pos_j, gm_j, ids_j, racc
+
+    def body(k, carry):
+        acc, pos_j, gm_j, ids_j, racc = carry
+        pos_j, gm_j, ids_j, racc = rotate(pos_j, gm_j, ids_j, racc)
+        d_acc, d_reac = _tile_force_sym(pos_local, gm_local, ids_local,
+                                        pos_j, gm_j, ids_j, q, cfg,
+                                        log_lo, log_hi, impl)
+        return acc + d_acc, pos_j, gm_j, ids_j, racc + d_reac
+
+    racc0 = jnp.zeros_like(pos_local)
+    carry = (acc, pos_local, gm_local, ids_local, racc0)
+    # Unconditional steps: ring distances 1..half (odd S) / 1..half-1
+    # (even S — the half-distance step is duplicated and handled below).
+    n_uncond = half + 1 if axis_size % 2 == 1 else half
+    carry = jax.lax.fori_loop(1, n_uncond, body, carry)
+    acc, pos_j, gm_j, ids_j, racc = carry
+
+    if axis_size % 2 == 0 and axis_size > 1:
+        pos_j, gm_j, ids_j, racc = rotate(pos_j, gm_j, ids_j, racc)
+
+        def compute(_):
+            return _tile_force_sym(pos_local, gm_local, ids_local,
+                                   pos_j, gm_j, ids_j, q, cfg,
+                                   log_lo, log_hi, impl)
+
+        def skip(_):
+            return jnp.zeros_like(acc), jnp.zeros_like(racc)
+
+        d_acc, d_reac = jax.lax.cond(my < half, compute, skip, None)
+        acc = acc + d_acc
+        racc = racc + d_reac
+
+    # The traveling reaction buffer is `half` hops from home; one
+    # permutation delivers every block's reactions back to its owner.
+    if half:
+        perm_back = [(i, (i - half) % axis_size) for i in range(axis_size)]
+        acc = acc + jax.lax.ppermute(racc, AXIS, perm_back)
+
+    valid = (ids_local < n_total)[:, None]
+    acc = jnp.where(valid, acc, 0.0)
+
+    if quantize_forces and q.is_int:
+        lo = jax.lax.pmin(jnp.min(jnp.where(valid, acc, jnp.inf)), AXIS)
+        hi = jax.lax.pmax(jnp.max(jnp.where(valid, acc, -jnp.inf)), AXIS)
+        acc = quantize_force(acc, q, lo=lo, hi=hi)
+        acc = jnp.where(valid, acc, 0.0)
+    return acc
+
+
 def _pad_to_shards(x, n_shards, fill=0.0):
     n = x.shape[0]
     pad = (-n) % n_shards
@@ -273,12 +418,13 @@ def _pad_to_shards(x, n_shards, fill=0.0):
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
-                                    "gather"))
+                                    "gather", "schedule"))
 def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       mesh: Mesh, num_steps: int,
                       quantize_forces: bool = False,
                       steps_per_chunk: int = 0,
-                      gather: bool = True):
+                      gather: bool = True,
+                      schedule: str = "sym"):
     """Sharded leapfrog run: scan over ticks with the ring force inside.
 
     Returns (final ParticleState, per-chunk EnergyStream of
@@ -287,6 +433,9 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     ``steps_per_chunk=0`` disables energy snapshots. ``gather=False``
     leaves the returned state sharded and padded to the shard boundary
     (no per-call all-gather; padded rows carry zero mass).
+    ``schedule='sym'`` (default) uses the half-ring Newton's-third-law
+    schedule (~half the pair work of ``schedule='rows'``, the plain
+    full-rotation ring kept for comparison/reproduction of round-1 runs).
     """
     n_total, dim = state.positions.shape
     n_shards = mesh.shape[AXIS]
@@ -300,10 +449,13 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     pspec = P(AXIS)
     half_dt = cfg.dt * 0.5
 
+    force_local = (_ring_accelerations_sym_local if schedule == "sym"
+                   else _ring_accelerations_local)
+
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
         def force(p):
-            return _ring_accelerations_local(p, gm_l, ids_l, n_total, q, cfg,
-                                             quantize_forces)
+            return force_local(p, gm_l, ids_l, n_total, q, cfg,
+                               quantize_forces)
 
         acc_l = force(pos_l)
 
@@ -412,15 +564,16 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
                                              "quantize_forces",
-                                             "tile_impl"))
+                                             "tile_impl", "schedule"))
 def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                        mesh: Mesh, quantize_forces: bool = False,
-                       tile_impl: str = "auto"):
+                       tile_impl: str = "auto", schedule: str = "sym"):
     """One sharded force evaluation (library entry for tests/benchmarks).
 
     Module-level jit: an unjitted shard_map closure would retrace AND
     recompile on every call (measured ~4 s/call through this box's
-    remote-compile service at N=131k)."""
+    remote-compile service at N=131k). ``schedule='sym'`` is the
+    half-ring Newton's-third-law schedule; 'rows' the plain ring."""
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
     pos = _pad_to_shards(positions, n_shards)
@@ -428,7 +581,9 @@ def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
 
     fn = shard_map(
-        functools.partial(_ring_accelerations_local, n_total=n_total, q=q,
+        functools.partial(_ring_accelerations_sym_local if schedule == "sym"
+                          else _ring_accelerations_local,
+                          n_total=n_total, q=q,
                           cfg=cfg, quantize_forces=quantize_forces,
                           tile_impl=tile_impl),
         mesh=mesh,

@@ -37,7 +37,6 @@ from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
-from nbody_tpu.utils.profiler import fence
 
 BAO_REFERENCE_MPC = 147.0
 GLITCH_THRESHOLD = 0.05          # 5% energy jump (reference: :105)
@@ -121,6 +120,44 @@ class SharedState:
             return self.positions
 
 
+class SnapshotStream:
+    """Double-buffered async device->host snapshot pipe.
+
+    ``push(device_arrays, meta)`` starts a NON-blocking host copy of the
+    current device state (``copy_to_host_async``) and returns the
+    previous snapshot — whose transfer has been in flight since the last
+    push, so materialising it is (nearly) free. The producer therefore
+    publishes one frame behind while the bulk position/velocity transfer
+    (MBs through the PJRT tunnel at production N) overlaps with the next
+    step's device dispatch, instead of serialising fetch -> compute ->
+    fetch as the reference's ``.cpu()``-per-10-ticks loop does
+    (reference: realtime_reality_engine.py:138, :253-345)."""
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, device_arrays: tuple, meta: dict):
+        for a in device_arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass  # plain numpy (CPU test path)
+        prev = self._pending
+        self._pending = (device_arrays, meta)
+        if prev is None:
+            return None, None
+        arrays, pmeta = prev
+        return tuple(np.asarray(a) for a in arrays), pmeta
+
+    def flush(self):
+        """Materialise the in-flight snapshot (end of run)."""
+        if self._pending is None:
+            return None, None
+        arrays, meta = self._pending
+        self._pending = None
+        return tuple(np.asarray(a) for a in arrays), meta
+
+
 class CosmicWebEngine:
     """Physics producer (reference: realtime_reality_engine.py:187-345).
 
@@ -140,6 +177,7 @@ class CosmicWebEngine:
         self.target_dt = 1.0 / target_fps
         self.steps_per_frame = steps_per_frame
         self.engine = None
+        self.snapshots = SnapshotStream()
 
     def _new_engine(self):
         from nbody_tpu.engines.cosmo import CosmologicalEngine
@@ -157,31 +195,46 @@ class CosmicWebEngine:
             self.engine.tick, self.engine.redshift,
             self.engine.get_kinetic_energy())
 
-    def pump(self):
-        """One producer iteration (call from the main loop)."""
-        import jax
+    def _publish(self, arrays, meta):
+        if arrays is None:
+            return
+        pos, vel = arrays
+        self.state.publish_snapshot(pos, vel, meta["tick"],
+                                    meta["redshift"], meta["ke"])
 
+    def pump(self):
+        """One producer iteration (call from the main loop).
+
+        The fused device step is dispatched, then the new state enters
+        the double-buffered SnapshotStream: its host copy streams in the
+        background while the PREVIOUS frame (already on host) publishes
+        to the monitors — the render/monitor cadence never blocks on the
+        device beyond the step's own diagnostics sync."""
         engine = self.engine
         t0 = time.perf_counter()
         if engine.completed:
             engine = self.engine = self._new_engine()
         dz = 0.05
         engine.step(dz, num_steps=self.steps_per_frame)
-        fence(engine.state.positions)
+        arrays, meta = self.snapshots.push(
+            (engine.state.positions, engine.state.velocities),
+            {"tick": engine.tick, "redshift": engine.redshift,
+             "ke": (engine.history["energy"][-1]
+                    if engine.history["energy"] else 0.0)})
         step_ms = (time.perf_counter() - t0) * 1e3
         with self.state.lock:
             self.state.step_times_ms.append(step_ms)
             if len(self.state.step_times_ms) > 300:
                 del self.state.step_times_ms[:100]
-        self.state.publish_snapshot(
-            np.asarray(engine.positions), np.asarray(engine.velocities),
-            engine.tick, engine.redshift,
-            engine.history["energy"][-1] if engine.history["energy"]
-            else 0.0)
+        self._publish(arrays, meta)
         self.state.clock.beat("cosmic_web")
         sleep = self.target_dt - (time.perf_counter() - t0)
         if sleep > 0:
             time.sleep(sleep)
+
+    def drain(self):
+        """Publish the final in-flight snapshot (call at shutdown)."""
+        self._publish(*self.snapshots.flush())
 
 
 class BAOSolver(threading.Thread):
@@ -401,6 +454,7 @@ def run_realtime_engine(num_particles: int = 10000,
                     dash.render()
                     next_frame += frame_interval_s
     finally:
+        producer.drain()  # publish the in-flight double-buffered frame
         state.running = False
         for t in monitors:
             t.join(timeout=3.0)

@@ -132,6 +132,82 @@ def test_sharded_run_gather_false_keeps_sharded_state(mesh8):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 5, 8])
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_sym_schedule_matches_rows(n_dev, mode):
+    """The half-ring Newton's-third-law schedule must reproduce the plain
+    ring on every mesh size (odd rings take the unconditional path; even
+    rings exercise the duplicated half-distance step + lax.cond)."""
+    mesh = ring.make_particle_mesh(n_dev)
+    pos, vel, m = _ics(250)  # unaligned N exercises padding too
+    q = Quantizer(mode)
+    a_sym = ring.ring_accelerations(pos, m, q, CFG, mesh,
+                                    quantize_forces=q.is_int,
+                                    schedule="sym")
+    a_rows = ring.ring_accelerations(pos, m, q, CFG, mesh,
+                                     quantize_forces=q.is_int,
+                                     schedule="rows")
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_rows),
+                               rtol=5e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_sym_schedule_pallas_tile(mesh8, mode):
+    """Production sym path: Pallas pair-force-sym tiles (interpret mode on
+    CPU) must match the jnp sym tiles."""
+    pos, vel, m = _ics(256)
+    q = Quantizer(mode)
+    a_jnp = ring.ring_accelerations(pos, m, q, CFG, mesh8, tile_impl="jnp",
+                                    quantize_forces=q.is_int,
+                                    schedule="sym")
+    a_pal = ring.ring_accelerations(pos, m, q, CFG, mesh8,
+                                    tile_impl="pallas",
+                                    quantize_forces=q.is_int,
+                                    schedule="sym")
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_jnp),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_pallas_pair_force_sym_reaction():
+    """The sym pair tile's reaction output must equal the direct force
+    computed with roles swapped (Newton's third law by construction)."""
+    from nbody_tpu.ops.pallas_nbody import pallas_pair_force, \
+        pallas_pair_force_sym
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    xi = jax.random.normal(k1, (96, 2)) * 5.0
+    xj = jax.random.normal(k2, (64, 2)) * 5.0 + 1.0
+    gm_i = jnp.abs(jax.random.normal(k1, (96,))) * CFG.G
+    gm_j = jnp.abs(jax.random.normal(k2, (64,))) * CFG.G
+    q = Quantizer(Precision.FLOAT32)
+
+    acc_i, reac_j = pallas_pair_force_sym(xi, gm_i, xj, gm_j, q, CFG)
+    acc_i_ref = pallas_pair_force(xi, xj, gm_j, q, CFG)
+    acc_j_ref = pallas_pair_force(xj, xi, gm_i, q, CFG)
+    np.testing.assert_allclose(np.asarray(acc_i), np.asarray(acc_i_ref),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(reac_j), np.asarray(acc_j_ref),
+                               rtol=5e-5, atol=1e-6)
+
+
+def test_sym_sharded_run_tracks_single_device(mesh8):
+    """End-to-end sym-schedule leapfrog run vs the single-device engine."""
+    pos, vel, m = _ics(256)
+    st = make_state(pos, vel, m)
+    q = Quantizer(Precision.FLOAT32)
+    out, es = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=20,
+                                     steps_per_chunk=5, schedule="sym")
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
+                           force_impl="dense")
+    sim.step(20)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(sim.positions),
+                               rtol=1e-4, atol=1e-4)
+    for arr in es:
+        assert np.isfinite(np.asarray(arr)).all()
+
+
 def test_ring_force_pallas_tile(mesh8):
     """The production tile path (Pallas pair-force per ring step) must
     match the jnp broadcast path (interpret mode on the CPU mesh)."""

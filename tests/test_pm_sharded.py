@@ -172,3 +172,59 @@ def test_sharded_fft_density(mesh8):
     dense = jnp.fft.fftn(pm_ops.ngp_deposit(pos, w, 64, 100.0))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
                                rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("deposit", ["ngp", "cic"])
+def test_slab_gather_partials_reconstruct_full(deposit):
+    """Summing each slab's partial interpolation must equal the full
+    gather (the slab-routed large-grid path's core invariant), including
+    particles whose CIC stencil straddles a slab boundary."""
+    from nbody_tpu.ops import pm as pm_ops
+
+    n_grid, box, dim, n_slabs = 32, 100.0, 2, 8
+    key = jax.random.PRNGKey(7)
+    pos = jax.random.uniform(key, (512, dim)) * box
+    # Pin some particles exactly onto slab boundaries.
+    pos = pos.at[:8, 0].set(jnp.arange(8) * (box / n_slabs))
+    grids = [jax.random.normal(jax.random.PRNGKey(d), (n_grid,) * dim)
+             for d in range(dim)]
+
+    full_fn = pm_ops.cic_gather if deposit == "cic" else pm_ops.ngp_gather
+    slab_fn = (pm_ops.cic_gather_slab if deposit == "cic"
+               else pm_ops.ngp_gather_slab)
+    full = full_fn(grids, pos, n_grid, box)
+
+    slab = n_grid // n_slabs
+    total = jnp.zeros_like(full)
+    for s in range(n_slabs):
+        slabs = [g[s * slab:(s + 1) * slab] for g in grids]
+        total = total + slab_fn(slabs, pos, n_grid, box, s * slab)
+    # f32 summation-order deltas only (partials regroup the corner sums)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("precision", ["float32", "int4"])
+def test_slab_gather_matches_replicate_gather(mesh8, precision):
+    """The slab-routed gather (grids stay sharded; psum_scatter over the
+    particle axis) must reproduce the replicated-grid gather end-to-end."""
+    import dataclasses
+
+    e = _engine(precision=precision)
+    cfg = dataclasses.replace(e.cfg, G=cosmo.G_NEWTON)
+    _, st = _tame_state()
+    st = st._replace(positions=e.state.positions)
+    schedule = e._build_schedule(1.0, 3)
+    qf = e.quantizer.is_int
+    slab_state, slab_stream = pm_sharded.run_pm_steps_sharded_fft(
+        st, schedule, e.quantizer, cfg, mesh8, quantize_forces=qf,
+        gather_mode="slab")
+    rep_state, rep_stream = pm_sharded.run_pm_steps_sharded_fft(
+        st, schedule, e.quantizer, cfg, mesh8, quantize_forces=qf,
+        gather_mode="replicate")
+    d = _periodic_dist(slab_state.positions, rep_state.positions,
+                       cfg.box_size)
+    assert np.max(d) < 1e-4, f"max periodic deviation {np.max(d)}"
+    np.testing.assert_allclose(np.asarray(slab_stream.kinetic),
+                               np.asarray(rep_stream.kinetic),
+                               rtol=1e-5, atol=1e-10)
