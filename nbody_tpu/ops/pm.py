@@ -74,6 +74,15 @@ def _k_vectors(n_grid: int, box_size: float, dim: int):
     return ks
 
 
+def _rk_vectors(n_grid: int, box_size: float, dim: int):
+    """Wavevector component grids on the HALF (rfft) spectrum: the last
+    axis carries only the n//2+1 non-negative frequencies."""
+    full = jnp.fft.fftfreq(n_grid, d=box_size / n_grid) * 2.0 * jnp.pi
+    half = jnp.fft.rfftfreq(n_grid, d=box_size / n_grid) * 2.0 * jnp.pi
+    axes = [full] * (dim - 1) + [half]
+    return jnp.meshgrid(*axes, indexing="ij")
+
+
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size", "q",
                                              "G", "dim"))
 def poisson_accel_grids(density, box_size: float, n_grid: int,
@@ -84,12 +93,29 @@ def poisson_accel_grids(density, box_size: float, n_grid: int,
     density -> delta -> FFT -> phi_k = -4 pi G <rho> delta_k / k^2_q / a
     -> spectral gradient -> D real-space acceleration grids.
     (reference: universe_2d.py:1037-1062)
+
+    Runs on the HALF spectrum (rfftn/irfftn — density and the gradient
+    grids are real): ~2x the FFT flops and spectrum HBM of the full
+    complex transform the reference uses. The quantized-|k|^2 hook is
+    unchanged math: the int-mode log-grid normalises by the tensor-wide
+    min/max of k^2 (reference: quantization.py:112-121), and the
+    Hermitian half spectrum preserves both extremes — the min (k=0,
+    floor-clamped) and the max (full Nyquist corner, present because
+    only the LAST axis is halved and it keeps its Nyquist bin) — so the
+    half-spectrum snap grid is identical to the full-spectrum one.
+
+    The spectral-gradient multiplier is zeroed on each axis's Nyquist
+    plane: an odd derivative there is sign-ambiguous (the +/-Nyquist
+    bins alias), breaks the Hermitian symmetry irfftn requires, and in
+    the full-complex formulation contributed only an arbitrary-sign
+    sawtooth at the grid scale. The symmetric (zero) convention is the
+    standard spectral-methods choice.
     """
     mean_rho = jnp.mean(density)
     delta = (density - mean_rho) / (mean_rho + 1e-10)
-    delta_k = jnp.fft.fftn(delta)
+    delta_k = jnp.fft.rfftn(delta)
 
-    ks = _k_vectors(n_grid, box_size, dim)
+    ks = _rk_vectors(n_grid, box_size, dim)
     k_sq = sum(k * k for k in ks) + 1e-10
 
     k_sq_q = quantize_distance_squared(k_sq.astype(jnp.float32), q)
@@ -101,10 +127,12 @@ def poisson_accel_grids(density, box_size: float, n_grid: int,
     # distributed over a mesh (a scatter into a sharded array is not).
     phi_k = jnp.where(k_sq <= 1.5e-10, 0.0, phi_k)
 
+    k_nyq = jnp.pi * n_grid / box_size
     accs = []
     for d in range(dim):
-        a_k = -1j * ks[d] * phi_k
-        accs.append(jnp.real(jnp.fft.ifftn(a_k)))
+        kd = jnp.where(jnp.abs(ks[d]) >= k_nyq * (1.0 - 1e-6), 0.0, ks[d])
+        a_k = -1j * kd * phi_k
+        accs.append(jnp.fft.irfftn(a_k, s=(n_grid,) * dim))
     return accs
 
 

@@ -96,6 +96,27 @@ class CheckpointManager:
                 for i in range(len(flat_t))]
         return jax.tree.unflatten(treedef, flat)
 
+    def restore_to_sharding(self, step: int, template: Any,
+                            shardings: Any) -> Any:
+        """Restore a checkpoint and place it under a device mesh.
+
+        ``shardings`` is a pytree of ``jax.sharding.Sharding`` matching
+        ``template`` (or a single Sharding applied to every leaf). The
+        multi-chip resume path: a state saved from
+        ``run_steps_sharded(gather=False)`` (or any sharded engine) comes
+        back distributed over the target mesh — possibly a DIFFERENT
+        mesh shape than it was saved from, which is what makes
+        checkpoints portable across pod slices. (The reference has no
+        resume at all — SURVEY §5.)"""
+        state = self.restore(step, template)
+        if hasattr(shardings, "device_set"):  # a single Sharding:
+            # apply to array leaves; scalars (tick, redshift) stay host
+            return jax.tree.map(
+                lambda x: jax.device_put(x, shardings)
+                if getattr(x, "ndim", 0) >= 1 else x, state)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s), state, shardings)
+
     def load_metadata(self, step: int) -> dict:
         if self.use_orbax:
             p = self.directory / str(step) / "meta.json"

@@ -260,3 +260,32 @@ def test_engine_checkpoint_resume(tmp_path):
     assert b.tick == 4
     b.step(1.0, 3)
     np.testing.assert_array_equal(np.asarray(b.positions), final)
+
+
+def test_poisson_gradient_matches_analytic_plane_wave():
+    """The half-spectrum (rfftn) Poisson solve must recover the analytic
+    acceleration of a single plane-wave density perturbation:
+    delta = eps*cos(k.x) -> a_d = -4 pi G rho_mean eps k_d sin(k.x)/k^2."""
+    import jax.numpy as jnp
+    from nbody_tpu.ops import pm as pm_ops
+    from nbody_tpu.ops.precision import Precision, Quantizer
+
+    n, box, G = 32, 100.0, 2.5
+    x = jnp.arange(n) * (box / n)
+    xx, yy = jnp.meshgrid(x, x, indexing="ij")
+    kx = 2 * jnp.pi * 3 / box   # mode (3, 1)
+    ky = 2 * jnp.pi * 1 / box
+    eps, rho0 = 0.01, 1.7
+    density = rho0 * (1.0 + eps * jnp.cos(kx * xx + ky * yy))
+
+    grids = pm_ops.poisson_accel_grids(density, box, n,
+                                       Quantizer(Precision.FLOAT32),
+                                       G, 1.0, dim=2)
+    k_sq = kx * kx + ky * ky
+    phase = jnp.sin(kx * xx + ky * yy)
+    expect = [-4 * jnp.pi * G * rho0 * eps * k / k_sq * phase
+              for k in (kx, ky)]
+    for got, want in zip(grids, expect):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5 * float(jnp.max(
+                                       jnp.abs(want))))
