@@ -34,13 +34,22 @@ from nbody_tpu.ops import forces
 from nbody_tpu.ops.precision import Precision, Quantizer
 
 
-def _force_fn(impl: str, n: int):
-    """Pick a force implementation. 'auto' = the Pallas kernel on TPU,
-    dense at small N / tiled at large N elsewhere (Pallas interpret mode on
-    CPU is debug-speed only)."""
+def _sym_vmem_resident_bytes(n: int, dim: int = 2) -> int:
+    """VMEM footprint of the sym kernel's grid-resident arrays: the
+    (D+1, N) source array plus the (D, N) reaction column buffer."""
+    return 4 * (2 * dim + 1) * n
+
+
+def _force_fn(impl: str, n: int, dim: int = 2):
+    """Pick a force implementation. 'auto' = the Pallas kernel on TPU
+    (symmetric while its grid-resident arrays fit VMEM, the HBM-streaming
+    row kernel beyond), dense at small N / tiled at large N elsewhere
+    (Pallas interpret mode on CPU is debug-speed only)."""
     if impl == "auto":
         if jax.default_backend() == "tpu" and n >= 512:
-            impl = "pallas"
+            impl = ("pallas"
+                    if _sym_vmem_resident_bytes(n, dim) <= 12_000_000
+                    else "pallas_streamed")
         else:
             impl = "dense" if n <= 2048 else "tiled"
     if impl == "dense":
@@ -57,6 +66,11 @@ def _force_fn(impl: str, n: int):
         # (disjoint receiver/source sets) and as a comparison point.
         from nbody_tpu.ops.pallas_nbody import pallas_accelerations
         return pallas_accelerations
+    if impl == "pallas_streamed":
+        # Large-N row sweep with HBM-streamed source blocks: no resident
+        # (D+1, N) VMEM array, so N is bounded by HBM not VMEM.
+        from nbody_tpu.ops.pallas_nbody import pallas_accelerations_streamed
+        return pallas_accelerations_streamed
     raise ValueError(f"unknown force impl: {impl}")
 
 
@@ -97,7 +111,8 @@ def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
               dt=None, softening_sq=None) -> ParticleState:
     """num_steps leapfrog steps as one fused on-device scan. Optional
     traced dt/softening_sq: one compiled program serves a whole sweep."""
-    force = _force_fn(impl, state.positions.shape[0])
+    force = _force_fn(impl, state.positions.shape[0],
+                      state.positions.shape[1])
 
     def body(s, _):
         return leapfrog_step(s, q, cfg, force, quantize_forces,
@@ -128,7 +143,8 @@ def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
     and a position frame after each chunk. Entirely on-device: one jitted
     program, outputs stacked along a leading chunk axis. Optional traced
     dt/softening_sq override the static cfg (dynamic-sweep mode)."""
-    force = _force_fn(impl, state.positions.shape[0])
+    force = _force_fn(impl, state.positions.shape[0],
+                      state.positions.shape[1])
 
     def chunk(s, _):
         def body(ss, __):
@@ -225,7 +241,8 @@ class DirectSimulation:
             self.state = self.state._replace(accelerations=acc)
         else:
             self.state = make_state(positions, velocities, masses)
-            force = _force_fn(force_impl, self.state.num_particles)
+            force = _force_fn(force_impl, self.state.num_particles,
+                              self.state.positions.shape[1])
             acc = force(self.state.positions, self.state.masses,
                         self.quantizer, cfg,
                         quantize_forces=self.quantize_forces,

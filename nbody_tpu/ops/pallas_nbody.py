@@ -331,6 +331,216 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     return acc
 
 
+def _force_kernel_streamed(bounds_ref, pos_i_ref, src_ref, out_ref,
+                           *, q: Quantizer, self_masked: bool, dim: int,
+                           block_i: int, block_j: int):
+    """HBM-streaming row-sweep force kernel: 2-D grid (receivers x source
+    chunks); each grid step stages ONE (D+1, BJ) source block into VMEM
+    instead of keeping the whole (D+1, N) source array resident.
+
+    Removes the resident-source VMEM cliff of the flagship kernels
+    (~600k particles at 2-D on a 16 MB-VMEM chip): N is now bounded by
+    HBM only. Re-fetch traffic is (N/BI) * N * (D+1) * 4 bytes per
+    evaluation — at N=1M, 2-D, BI=512: ~24 GB against ~1e12 pair
+    evaluations, still compute-bound by >10x. The output block for
+    receiver block i is revisited consecutively across the inner j steps
+    (init at j == 0, accumulate after)."""
+    j = pl.program_id(1)
+    i0 = pl.program_id(0) * block_i
+    j0 = j * block_j
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
+
+    log_lo = bounds_ref[0, 0]
+    log_hi = bounds_ref[0, 1]
+    softening_sq = bounds_ref[0, 2]
+
+    if q.is_int:
+        lvl = float(q.levels - 1)
+        safe_span = jnp.maximum(log_hi - log_lo, 1e-10)
+        norm_a = lvl / safe_span
+        norm_b = -log_lo * norm_a
+        arg_k = -1.5 * safe_span / lvl
+        arg_0 = -1.5 * log_lo
+        arg_cap = -1.5 * math.log(q.min_dist_sq)
+
+    xj = [src_ref[d:d + 1, :] for d in range(dim)]
+    gm_j = src_ref[dim:dim + 1, :]  # (1, BJ)
+
+    diffs = [xj[d] - xi[d] for d in range(dim)]
+    d2 = diffs[0] * diffs[0]
+    for d in range(1, dim):
+        d2 = d2 + diffs[d] * diffs[d]
+    d2 = d2 + softening_sq
+
+    if q.is_int:
+        log_d2 = jnp.log(jnp.maximum(d2, q.min_dist_sq))
+        k = jnp.round(log_d2 * norm_a + norm_b)
+        arg = jnp.minimum(k * arg_k + arg_0, arg_cap)
+        factor = gm_j * jnp.exp(arg)
+    else:
+        d2q = quantize_distance_squared(d2, q)
+        inv_d = jax.lax.rsqrt(d2q)
+        factor = gm_j * (inv_d * inv_d * inv_d)
+
+    if self_masked:
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1) + j0
+        factor = jnp.where(j_ids == i_ids, 0.0, factor)
+
+    for d in range(dim):
+        out_ref[:, d:d + 1] += jnp.sum(factor * diffs[d], axis=1,
+                                       keepdims=True)
+
+
+def _max_kernel_streamed(pos_i_ref, src_ref, out_ref, *, dim: int,
+                         block_i: int, block_j: int):
+    """Streaming-source variant of the max pass (see _max_kernel for the
+    duplicate-of-particle-0 padding trick). Upper triangle only: tiles
+    wholly below the receiver block's own rows are skipped (the pair max
+    is symmetric)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[i, 0] = 0.0
+
+    @pl.when((j + 1) * block_j > i * block_i)
+    def _tile():
+        xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
+        xj = [src_ref[d:d + 1, :] for d in range(dim)]
+        diffs = [xj[d] - xi[d] for d in range(dim)]
+        d2 = diffs[0] * diffs[0]
+        for d in range(1, dim):
+            d2 = d2 + diffs[d] * diffs[d]
+        out_ref[i, 0] = jnp.maximum(out_ref[i, 0], jnp.max(d2))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block_i", "block_j",
+                                             "interpret"))
+def pallas_max_dist_sq_streamed(positions, cfg: SimConfig,
+                                block_i: int = 1024, block_j: int = 4096,
+                                interpret: bool | None = None,
+                                softening_sq=None):
+    """Global max softened pairwise dist^2 with streamed source blocks
+    (no resident (D, N) VMEM array — the large-N bounds pass)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, dim = positions.shape
+    n_pad = _round_up(max(n, block_i, block_j),
+                      math.lcm(block_i, block_j, 128))
+    positions = positions.astype(jnp.float32)
+    pos_pad = jnp.broadcast_to(positions[0], (n_pad, dim)).at[:n].set(
+        positions)
+    src = pos_pad.T  # (D, N_pad) lane-major
+
+    kernel = functools.partial(_max_kernel_streamed, dim=dim,
+                               block_i=block_i, block_j=block_j)
+    grid = (n_pad // block_i, n_pad // block_j)
+    block_maxes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_i, dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, block_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad // block_i, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // block_i, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pos_pad, src)
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
+    return jnp.max(block_maxes) + softening_sq
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
+                                             "block_i", "block_j",
+                                             "interpret"))
+def pallas_accelerations_streamed(positions, masses, q: Quantizer,
+                                  cfg: SimConfig,
+                                  quantize_forces: bool = True,
+                                  block_i: int = 512, block_j: int = 2048,
+                                  interpret: bool | None = None,
+                                  softening_sq=None):
+    """Large-N force path: same semantics as pallas_accelerations, with
+    source blocks STREAMED from HBM per grid step instead of resident in
+    VMEM — N is bounded by HBM capacity, not the 16 MB VMEM stack.
+    Auto-selected by models/direct above the sym kernel's residency
+    limit (docs/PERF.md)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dynamic_soft = softening_sq is not None
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
+
+    n, dim = positions.shape
+    n_pad = _round_up(max(n, block_i, block_j),
+                      math.lcm(block_i, block_j, 128))
+
+    positions = positions.astype(jnp.float32)
+    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    gmass = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+        cfg.G * masses.astype(jnp.float32))
+    src = jnp.concatenate([pos_pad.T, gmass], axis=0)  # (D+1, N_pad)
+
+    soft = jnp.asarray(softening_sq, jnp.float32)
+    if q.is_int:
+        max_d2 = pallas_max_dist_sq_streamed(positions, cfg,
+                                             interpret=interpret,
+                                             softening_sq=softening_sq)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
+        bounds = jnp.stack(
+            [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
+    else:
+        bounds = jnp.stack(
+            [jnp.float32(0), jnp.float32(0), soft]).reshape(1, 3)
+
+    kernel = functools.partial(
+        _force_kernel_streamed, q=q,
+        self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
+        block_i=block_i, block_j=block_j)
+
+    grid = (n_pad // block_i, n_pad // block_j)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim + 1, block_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, dim), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n_pad * n_pad * dim // 2,
+            bytes_accessed=4 * n_pad * n_pad // block_i * (dim + 1),
+            transcendentals=n_pad * n_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(bounds, pos_pad, src)
+
+    acc = acc[:n]
+    if quantize_forces and q.is_int:
+        acc = quantize_force(acc, q)
+    return acc
+
+
 def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
                            out_col_ref, *, q: Quantizer, dim: int,
                            block_i: int, block_j: int, nj_pad: int):

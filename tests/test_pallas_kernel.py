@@ -237,3 +237,46 @@ def test_pallas_pair_max_masked():
     zero = float(pallas_pair_max(recv, src, jnp.zeros(200, bool), vj,
                                  block_i=64, block_j=128))
     assert zero == 0.0
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_pallas_streamed_matches_dense(mode):
+    """HBM-streaming large-N kernel (interpret mode): same semantics as
+    the resident-source kernels, including the streamed max pass."""
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_streamed
+
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(4),
+                                            num_stars=700)
+    q = Quantizer(mode)
+    got = pallas_accelerations_streamed(pos, m, q, CFG,
+                                        quantize_forces=q.is_int,
+                                        block_i=128, block_j=256)
+    want = forces.dense_accelerations(pos, m, q, CFG,
+                                      quantize_forces=q.is_int)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_pallas_streamed_max_pass():
+    from nbody_tpu.ops.pallas_nbody import pallas_max_dist_sq_streamed
+
+    pos = jax.random.normal(jax.random.PRNGKey(5), (900, 3)) * 7.0 + 2.0
+    got = float(pallas_max_dist_sq_streamed(pos, CFG, block_i=128,
+                                            block_j=256))
+    diff = pos[None, :, :] - pos[:, None, :]
+    want = float(jnp.max(jnp.sum(diff * diff, -1)) + CFG.softening_sq)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pallas_streamed_zero_softening_self_mask():
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_streamed
+
+    cfg0 = SimConfig(softening=0.0)
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(6),
+                                            num_stars=256)
+    got = pallas_accelerations_streamed(pos, m, Quantizer(), cfg0,
+                                        block_i=128, block_j=128)
+    want = forces.dense_accelerations(pos, m, Quantizer(), cfg0)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=2e-6)

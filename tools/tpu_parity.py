@@ -31,8 +31,10 @@ def main() -> int:
     from nbody_tpu.ops import forces
     from nbody_tpu.ops.pallas_nbody import (
         pallas_accelerations,
+        pallas_accelerations_streamed,
         pallas_accelerations_sym,
         pallas_max_dist_sq,
+        pallas_max_dist_sq_streamed,
     )
     from nbody_tpu.ops.precision import Precision, Quantizer
 
@@ -73,9 +75,15 @@ def main() -> int:
             check(f"rows/{mode.value}",
                   pallas_accelerations(pos, m, q, cfg, quantize_forces=qf),
                   ref)
+            check(f"streamed/{mode.value}",
+                  pallas_accelerations_streamed(pos, m, q, cfg,
+                                                quantize_forces=qf), ref)
         diff = pos[None, :, :] - pos[:, None, :]
         want_max = jnp.max(jnp.sum(diff * diff, -1)) + cfg.softening_sq
         check("max_pass", pallas_max_dist_sq(pos, cfg)[None],
+              np.asarray(want_max)[None], rtol=1e-6, atol=0.0)
+        check("max_pass_streamed",
+              pallas_max_dist_sq_streamed(pos, cfg)[None],
               np.asarray(want_max)[None], rtol=1e-6, atol=0.0)
 
     # zero softening (self-mask path)
