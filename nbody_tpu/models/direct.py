@@ -49,7 +49,7 @@ def _force_fn(impl: str, n: int, dim: int = 2):
         if jax.default_backend() == "tpu" and n >= 512:
             impl = ("pallas"
                     if _sym_vmem_resident_bytes(n, dim) <= 12_000_000
-                    else "pallas_streamed")
+                    else "pallas_sym_chunked")
         else:
             impl = "dense" if n <= 2048 else "tiled"
     if impl == "dense":
@@ -71,6 +71,14 @@ def _force_fn(impl: str, n: int, dim: int = 2):
         # (D+1, N) VMEM array, so N is bounded by HBM not VMEM.
         from nbody_tpu.ops.pallas_nbody import pallas_accelerations_streamed
         return pallas_accelerations_streamed
+    if impl == "pallas_sym_chunked":
+        # Large-N Newton's-third-law path: VMEM-sized column chunks, one
+        # sym pair tile per unordered chunk pair (~N^2/2 evaluations vs
+        # the streamed row sweep's N^2). Falls back to streamed for
+        # dynamic-softening sweeps / zero softening.
+        from nbody_tpu.ops.pallas_nbody import (
+            pallas_accelerations_sym_chunked)
+        return pallas_accelerations_sym_chunked
     raise ValueError(f"unknown force impl: {impl}")
 
 

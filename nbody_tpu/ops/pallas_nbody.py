@@ -541,6 +541,84 @@ def pallas_accelerations_streamed(positions, masses, q: Quantizer,
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
+                                             "chunk", "interpret"))
+def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
+                                     cfg: SimConfig,
+                                     quantize_forces: bool = True,
+                                     chunk: int | None = None,
+                                     interpret: bool | None = None,
+                                     softening_sq=None):
+    """Newton's-third-law force path for N beyond the sym kernel's VMEM
+    residency limit: the single-chip analog of the half-ring schedule.
+
+    Particles are split into C VMEM-sized column chunks. Each diagonal
+    chunk runs the resident symmetric kernel; each unordered chunk pair
+    (i < j) runs ONE pallas_pair_force_sym tile producing both the
+    direct rows (chunk i) and the reactions (chunk j) — C(C+1)/2 kernel
+    launches unrolled inside the jitted graph, ~N^2/2 pair evaluations
+    total where the streamed row sweep pays N^2. Global int-sim bounds
+    come from one streamed max pass.
+
+    Falls back to the streamed row sweep for dynamic softening sweeps or
+    zero softening (the sym pair tile has no traced-softening/self-mask
+    path)."""
+    if softening_sq is not None or cfg.softening_sq <= 0.0:
+        return pallas_accelerations_streamed(
+            positions, masses, q, cfg, quantize_forces=quantize_forces,
+            interpret=interpret, softening_sq=softening_sq)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n, dim = positions.shape
+    if chunk is None:
+        # Largest chunk whose grid-resident arrays (the (D+1, chunk)
+        # source + (D, chunk) reaction buffer) fit ~10.5 MB of VMEM,
+        # then the chunk count that minimises tail padding. Measured at
+        # N=1M 2-D: 2x524288 chunks hit 3.07e11 pairs/s f32 vs 2.87e11
+        # for 4x262144 and 2.32e11 for 3 padded chunks (docs/PERF.md).
+        max_chunk = 10_500_000 // (4 * (2 * dim + 1))
+        n_chunks = -(-n // max(max_chunk, 512))
+        chunk = -(-n // n_chunks)
+    chunk = _round_up(min(chunk, n), math.lcm(512, 128))
+    n_pad = _round_up(n, chunk)
+    n_chunks = n_pad // chunk
+
+    positions = positions.astype(jnp.float32)
+    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        cfg.G * masses.astype(jnp.float32))
+
+    if q.is_int:
+        max_d2 = pallas_max_dist_sq_streamed(positions, cfg,
+                                             interpret=interpret)
+        log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+    else:
+        log_lo = log_hi = None
+
+    def sl(i):
+        return slice(i * chunk, (i + 1) * chunk)
+
+    acc = jnp.zeros((n_pad, dim), jnp.float32)
+    for i in range(n_chunks):
+        pos_i, gm_i = pos_pad[sl(i)], gm_pad[sl(i)]
+        acc_i = pallas_accelerations_sym(
+            pos_i, None, q, cfg, quantize_forces=False,
+            interpret=interpret, log_lo=log_lo, log_hi=log_hi, gm=gm_i)
+        for j in range(i + 1, n_chunks):
+            rows, cols = pallas_pair_force_sym(
+                pos_i, gm_i, pos_pad[sl(j)], gm_pad[sl(j)], q, cfg,
+                log_lo=log_lo, log_hi=log_hi, interpret=interpret)
+            acc_i = acc_i + rows
+            acc = acc.at[sl(j)].add(cols)
+        acc = acc.at[sl(i)].add(acc_i)
+
+    acc = acc[:n]
+    if quantize_forces and q.is_int:
+        acc = quantize_force(acc, q)
+    return acc
+
+
 def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
                            out_col_ref, *, q: Quantizer, dim: int,
                            block_i: int, block_j: int, nj_pad: int):

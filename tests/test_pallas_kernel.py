@@ -280,3 +280,37 @@ def test_pallas_streamed_zero_softening_self_mask():
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_pallas_sym_chunked_matches_dense(mode):
+    """Column-chunked Newton's-third-law path (interpret mode): multiple
+    chunks including a padded tail must match the dense reference."""
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym_chunked
+
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(7),
+                                            num_stars=1400)
+    q = Quantizer(mode)
+    got = pallas_accelerations_sym_chunked(pos, m, q, CFG,
+                                           quantize_forces=q.is_int,
+                                           chunk=512)
+    want = forces.dense_accelerations(pos, m, q, CFG,
+                                      quantize_forces=q.is_int)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_pallas_sym_chunked_dynamic_softening_fallback():
+    """Dynamic softening routes chunked -> streamed and stays correct."""
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym_chunked
+
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(8),
+                                            num_stars=600)
+    soft = jnp.float32(0.04)
+    got = pallas_accelerations_sym_chunked(pos, m, Quantizer(), CFG,
+                                           chunk=512, softening_sq=soft)
+    import dataclasses
+    cfg2 = dataclasses.replace(CFG, softening=0.2)
+    want = forces.dense_accelerations(pos, m, Quantizer(), cfg2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=2e-6)

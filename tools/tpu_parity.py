@@ -33,6 +33,7 @@ def main() -> int:
         pallas_accelerations,
         pallas_accelerations_streamed,
         pallas_accelerations_sym,
+        pallas_accelerations_sym_chunked,
         pallas_max_dist_sq,
         pallas_max_dist_sq_streamed,
     )
@@ -78,6 +79,10 @@ def main() -> int:
             check(f"streamed/{mode.value}",
                   pallas_accelerations_streamed(pos, m, q, cfg,
                                                 quantize_forces=qf), ref)
+            check(f"sym_chunked/{mode.value}",
+                  pallas_accelerations_sym_chunked(pos, m, q, cfg,
+                                                   quantize_forces=qf,
+                                                   chunk=512), ref)
         diff = pos[None, :, :] - pos[:, None, :]
         want_max = jnp.max(jnp.sum(diff * diff, -1)) + cfg.softening_sq
         check("max_pass", pallas_max_dist_sq(pos, cfg)[None],
