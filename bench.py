@@ -67,14 +67,46 @@ def main():
     f32 = measure(Precision.FLOAT32, False)
     int4 = measure(Precision.INT4_SIM, True)
 
-    print(json.dumps({
+    result = {
         "metric": f"pairwise_interactions_per_sec_chip_N{n}_f32",
         "value": f32,
         "unit": "pairs/s",
         "vs_baseline": f32 / BASELINE_PAIRS_PER_SEC,
         "int4_value": int4,
         "int4_vs_baseline": int4 / BASELINE_PAIRS_PER_SEC,
-    }))
+    }
+
+    if on_tpu:
+        # Large-N arm: the chunked Newton's-third-law path past the VMEM
+        # residency cliff (1.1e12 pairs per force evaluation on one chip
+        # — the reference's broadcast engine dies at ~10k).
+        n_big, steps_big = 1_048_576, 3
+        pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(43),
+                                         num_stars=n_big)
+        state_big = make_state(pos, vel, m)
+
+        def measure_big(mode, quantize_forces):
+            q = Quantizer(mode)
+            t0 = time.time()
+            out = run_steps(state_big, q, cfg, "auto", quantize_forces,
+                            steps_big)
+            np.asarray(out.positions[:1])
+            log(f"{mode.value}: N={n_big} warmup {time.time() - t0:.1f}s")
+            t0 = time.time()
+            out = run_steps(state_big, q, cfg, "auto", quantize_forces,
+                            steps_big)
+            np.asarray(out.positions[:1])
+            wall = time.time() - t0
+            pairs = n_big * n_big * steps_big / wall
+            log(f"{mode.value}: N={n_big} {steps_big} steps: "
+                f"{wall / steps_big * 1e3:.0f} ms/step  "
+                f"{pairs:.3e} pairs/s")
+            return pairs
+
+        result["n1m_f32_value"] = measure_big(Precision.FLOAT32, False)
+        result["n1m_int4_value"] = measure_big(Precision.INT4_SIM, True)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
