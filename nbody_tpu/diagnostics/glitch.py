@@ -336,8 +336,13 @@ class PhysicsExploitEngine:
         self.observer_dir[0] = x * c - y * s
         self.observer_dir[1] = x * s + y * c
 
-    def run_all_probes(self, positions, velocities, gpu_power: float = 0.0,
-                       energy_delta: float = 0.0) -> dict:
+    def probe_inputs(self, positions):
+        """Bookkeeping half of a probe dispatch: returns
+        (prev_positions, observer_pos, observer_dir) for
+        ``exploit_device_metrics`` and records ``positions`` as the new
+        previous state. Lets callers fuse the device program into a larger
+        jitted bundle (engines/cosmo.probe_bundle) while sharing the exact
+        observer/prev-state sequence with run_all_probes."""
         dim = int(positions.shape[1])
         if self.observer_pos.shape[0] != dim:
             self.observer_pos = np.zeros(dim, np.float32)
@@ -346,12 +351,27 @@ class PhysicsExploitEngine:
             self.observer_dir = d
         prev = (self.prev_positions if self.prev_positions is not None
                 else positions)
-        dm = exploit_device_metrics(
-            positions, velocities, prev,
-            jnp.asarray(self.observer_pos), jnp.asarray(self.observer_dir),
-            self.c_sim, self.fov_cos)
-        dm = jax.device_get(dm)
         self.prev_positions = positions
+        return (prev, jnp.asarray(self.observer_pos),
+                jnp.asarray(self.observer_dir))
+
+    def run_all_probes(self, positions, velocities, gpu_power: float = 0.0,
+                       energy_delta: float = 0.0) -> dict:
+        prev, obs_pos, obs_dir = self.probe_inputs(positions)
+        dm = exploit_device_metrics(positions, velocities, prev,
+                                    obs_pos, obs_dir,
+                                    self.c_sim, self.fov_cos)
+        dm = jax.device_get(dm)
+        return self.finish_probes(dm, positions, velocities, gpu_power,
+                                  energy_delta)
+
+    def finish_probes(self, dm, positions, velocities,
+                      gpu_power: float = 0.0,
+                      energy_delta: float = 0.0) -> dict:
+        """Host half: threshold the fetched ExploitDeviceMetrics and run the
+        compression-proxy Landauer probe. ``positions``/``velocities`` may be
+        host copies (the pipelined engine passes prefetched numpy arrays so
+        this never blocks on the device)."""
         n = int(positions.shape[0])
 
         max_gamma = float(dm.max_gamma)

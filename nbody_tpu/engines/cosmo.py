@@ -78,6 +78,44 @@ class StepStream(NamedTuple):
     redshift: jnp.ndarray     # (steps,)
 
 
+class ProbeBundle(NamedTuple):
+    """Per-chunk structure + exploit metrics, all from ONE device program
+    (reference computes these in separate per-call torch/numpy passes:
+    BAO/clustering universe_2d.py:1203-1255, exploit probes :818-877)."""
+
+    k_centers: jnp.ndarray    # (num_bins-1,) power-spectrum bin centers
+    pk: jnp.ndarray           # (num_bins-1,) binned P(k)
+    clustering: jnp.ndarray   # scalar density contrast std/mean
+    exploit: glitch_lib.ExploitDeviceMetrics
+
+
+@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos"))
+def probe_bundle(positions, velocities, prev_positions, obs_pos, obs_dir,
+                 box_size: float, c_sim: float, fov_cos: float) -> ProbeBundle:
+    """Fuse the power spectrum, clustering metric, and exploit device
+    metrics into a single dispatch so the pipelined engine pays one launch
+    + one async fetch per chunk."""
+    k, pk = pm.power_spectrum(positions, box_size)
+    clus = pm.clustering_metric(positions, box_size)
+    dm = glitch_lib.exploit_device_metrics(positions, velocities,
+                                           prev_positions, obs_pos, obs_dir,
+                                           c_sim, fov_cos)
+    return ProbeBundle(k, pk, clus, dm)
+
+
+class PendingChunk(NamedTuple):
+    """Device handles + host metadata for one dispatched-but-uncollected
+    chunk (dispatch_step -> collect_step)."""
+
+    num_steps: int
+    tick_start: int           # host tick BEFORE the chunk
+    z_end: float              # f32-exact end-of-chunk redshift
+    stream: StepStream        # device (async host copy in flight)
+    probes: ProbeBundle       # device (async host copy in flight)
+    positions: jnp.ndarray    # post-chunk state refs (async copy in flight)
+    velocities: jnp.ndarray
+
+
 # --------------------------------------------------------------------------
 # Initial conditions: gridded particles + P(k)-with-BAO Zel'dovich offsets
 # --------------------------------------------------------------------------
@@ -274,10 +312,32 @@ class CosmologicalEngine:
                     describe_mode(self.quantizer.mode))
 
     # -- properties ---------------------------------------------------------
+    #
+    # redshift/tick are served from host-side shadows kept exactly in sync
+    # with the device schedule, so reading them never blocks on in-flight
+    # device work (essential for the pipelined dispatch/collect path).
+    # Assigning .state from outside (checkpoint restore, tests) invalidates
+    # the shadows; the next read syncs them from the device once.
+
+    @property
+    def state(self) -> CosmoState:
+        return self._state
+
+    @state.setter
+    def state(self, s: CosmoState):
+        self._state = s
+        self._shadow_valid = False
+
+    def _sync_shadows(self):
+        self._z_host = float(self._state.redshift)
+        self._tick_host = int(self._state.tick)
+        self._shadow_valid = True
 
     @property
     def redshift(self) -> float:
-        return float(self.state.redshift)
+        if not self._shadow_valid:
+            self._sync_shadows()
+        return self._z_host
 
     @property
     def scale(self) -> float:
@@ -289,7 +349,9 @@ class CosmologicalEngine:
 
     @property
     def tick(self) -> int:
-        return int(self.state.tick)
+        if not self._shadow_valid:
+            self._sync_shadows()
+        return self._tick_host
 
     @property
     def positions(self):
@@ -326,29 +388,85 @@ class CosmologicalEngine:
     def step(self, dz: float = 1.0, num_steps: int = 1):
         """Advance num_steps redshift steps in one fused scan, then run the
         host-side detectors over the streamed diagnostics."""
+        pending = self.dispatch_step(dz, num_steps)
+        if pending is not None:
+            self.collect_step(pending)
+
+    def dispatch_step(self, dz: float = 1.0,
+                      num_steps: int = 1) -> Optional[PendingChunk]:
+        """Device half of step(): launch the fused scan chunk plus the
+        probe bundle and start async device->host copies. Returns a handle
+        for collect_step(), or None once the run is complete.
+
+        dispatch/collect lets run_to_completion(pipelined=True) overlap
+        chunk k's host detectors with chunk k+1's device compute — nothing
+        here blocks on device results."""
         if self.completed or self.redshift <= self.cfg.min_redshift:
             self._mark_complete()
-            return
+            return None
 
         schedule = self._build_schedule(dz, num_steps)
-        prev_energy = (self.history["energy"][-1]
-                       if self.history["energy"] else 0.0)
         if self.mesh is not None:
             from nbody_tpu.parallel import pm_sharded
 
             runner = (pm_sharded.run_pm_steps_sharded_fft
                       if self.cfg.n_grid >= 256
                       else pm_sharded.run_pm_steps_sharded)
-            self.state, stream = runner(
-                self.state, schedule, self.quantizer, self.cfg, self.mesh,
+            self._state, stream = runner(
+                self._state, schedule, self.quantizer, self.cfg, self.mesh,
                 quantize_forces=self.quantizer.is_int)
         else:
-            self.state, stream = run_pm_steps(self.state, schedule,
-                                              self.quantizer, self.cfg)
-        stream = jax.device_get(stream)
+            self._state, stream = run_pm_steps(self._state, schedule,
+                                               self.quantizer, self.cfg)
+
+        eng = self.exploit_engine
+        prev, obs_pos, obs_dir = eng.probe_inputs(self._state.positions)
+        probes = probe_bundle(self._state.positions, self._state.velocities,
+                              prev, obs_pos, obs_dir, self.cfg.box_size,
+                              eng.c_sim, eng.fov_cos)
+        # Observer rotates once per chunk, after the probe that used it
+        # (reference cadence: universe_2d.py:877).
+        eng.rotate_observer(5.0)
+
+        # Advance the host shadows with the exact f32 schedule recurrence
+        # (mirrors _build_schedule, so shadow == device state.redshift;
+        # the self.redshift read above already synced the shadows).
+        z = self._z_host
+        for _ in range(num_steps):
+            z = max(self.cfg.min_redshift, z - dz)
+        z_end = float(np.float32(z))
+        self._z_host = z_end
+        self._tick_host = self._tick_host + num_steps
+
+        pending = PendingChunk(
+            num_steps=num_steps, tick_start=self._tick_host - num_steps,
+            z_end=z_end, stream=stream, probes=probes,
+            positions=self._state.positions,
+            velocities=self._state.velocities)
+        for leaf in jax.tree_util.tree_leaves(pending[3:]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+        if self._z_host <= self.cfg.min_redshift:
+            self._mark_complete()
+        return pending
+
+    def collect_step(self, pending: PendingChunk):
+        """Host half of step(): run the glitch detectors, entropy probe,
+        structure measurements, and exploit probes over one fetched chunk.
+        History semantics are identical to the sequential step()."""
+        stream = jax.device_get(pending.stream)
+        probes = jax.device_get(pending.probes)
+        pos_h = np.asarray(pending.positions)
+        vel_h = np.asarray(pending.velocities)
+        num_steps = pending.num_steps
+        tick_end = pending.tick_start + num_steps
+        z_end = pending.z_end
+        prev_energy = (self.history["energy"][-1]
+                       if self.history["energy"] else 0.0)
 
         for i in range(num_steps):
-            tick = self.tick - num_steps + 1 + i
+            tick = pending.tick_start + 1 + i
             z = float(stream.redshift[i])
             ke = float(stream.kinetic[i])
             mom = tuple(float(x) for x in stream.momentum[i])
@@ -380,34 +498,31 @@ class CosmologicalEngine:
                 self.current_epoch = new_epoch
                 self._on_epoch_transition(tick, z, new_epoch)
 
-        # entropy check on current state (reference: every 10 ticks);
+        # entropy check on the post-chunk state (reference: every 10 ticks);
         # above 20k particles the native single-pass probe replaces the
         # zlib proxy (~90x cheaper per check, same spike semantics)
         entropy_fn = (glitch_lib.fast_state_entropy
                       if self.num_particles > 20000
                       else glitch_lib.measure_state_entropy)
-        ent = entropy_fn(self.state.positions, self.state.velocities)
+        ent = entropy_fn(pos_h, vel_h)
         ev = self.glitch_detector.check_entropy(ent.compression_ratio,
-                                                self.tick, self.redshift)
+                                                tick_end, z_end)
         if ev:
             self.history["glitches"].append(ev)
 
         # per-chunk structure measurements (reference logs BAO/clustering
         # every 10 ticks, universe_2d.py:1203-1207)
-        self.history["bao_scale"].append(self.get_bao_scale())
-        self.history["clustering"].append(self.get_clustering())
+        self.history["bao_scale"].append(
+            pm.bao_scale_from_pk(probes.k_centers, probes.pk))
+        self.history["clustering"].append(float(probes.clustering))
 
         # exploit probes (reference: every 20 ticks)
         ke_now = self.history["energy"][-1]
-        results = self.exploit_engine.run_all_probes(
-            self.state.positions, self.state.velocities,
+        results = self.exploit_engine.finish_probes(
+            probes.exploit, pos_h, vel_h,
             gpu_power=0.0, energy_delta=ke_now - prev_energy)
         self.history["exploits"].append(
-            {"tick": self.tick, "redshift": self.redshift, **results})
-        self.exploit_engine.rotate_observer(5.0)
-
-        if self.redshift <= self.cfg.min_redshift:
-            self._mark_complete()
+            {"tick": tick_end, "redshift": z_end, **results})
 
     def _on_epoch_transition(self, tick: int, z: float, epoch):
         """Hook for engine subclasses (genesis records a timeline)."""
@@ -420,13 +535,35 @@ class CosmologicalEngine:
                         self.redshift, self.time_gyr)
 
     def run_to_completion(self, dz: float = 1.0, chunk: int = 10,
-                          callback=None):
+                          callback=None, pipelined: bool = False):
         """Evolve to min_redshift in fused chunks
-        (chunk=10 matches the reference's entropy-check cadence)."""
+        (chunk=10 matches the reference's entropy-check cadence).
+
+        pipelined=True overlaps chunk k's host-side detectors with chunk
+        k+1's device compute (one chunk of latency between dispatch and
+        history append; histories are bit-identical to the sequential
+        path and fully drained on return)."""
+        if not pipelined:
+            while not self.completed:
+                remaining = (self.redshift - self.cfg.min_redshift) / dz
+                n = max(1, min(chunk, int(math.ceil(remaining))))
+                self.step(dz, num_steps=n)
+                if callback:
+                    callback(self)
+            return
+
+        pending = None
         while not self.completed:
             remaining = (self.redshift - self.cfg.min_redshift) / dz
             n = max(1, min(chunk, int(math.ceil(remaining))))
-            self.step(dz, num_steps=n)
+            nxt = self.dispatch_step(dz, num_steps=n)
+            if pending is not None:
+                self.collect_step(pending)
+                if callback:
+                    callback(self)
+            pending = nxt
+        if pending is not None:
+            self.collect_step(pending)
             if callback:
                 callback(self)
 

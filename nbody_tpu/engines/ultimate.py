@@ -324,7 +324,7 @@ def run_ultimate_reality_test(num_particles: int = 32768,
     print("\n--- PHASE: EVOLUTION ---")
     t0 = time.time()
     report["bao_test"] = run_bao_test(engine)
-    engine.run_to_completion(dz=1.0, chunk=10)
+    engine.run_to_completion(dz=1.0, chunk=10, pipelined=True)
     report["evolution_wall_s"] = time.time() - t0
     report["glitch_summary"] = engine.glitch_detector.get_glitch_summary()
     report["structures"] = engine.detect_structures()

@@ -289,3 +289,56 @@ def test_poisson_gradient_matches_analytic_plane_wave():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5 * float(jnp.max(
                                        jnp.abs(want))))
+
+
+def test_pipelined_run_matches_sequential():
+    """run_to_completion(pipelined=True) overlaps host detectors with the
+    next chunk's device work, but the collected histories (energy,
+    redshift, BAO, clustering, glitches, exploit ticks) must be
+    bit-identical to the sequential path."""
+    kw = dict(num_particles=1024, start_redshift=12.0, precision="int4",
+              dim=2, n_grid=32, seed=3)
+    seq = cosmo.CosmologicalEngine(**kw)
+    pipe = cosmo.CosmologicalEngine(**kw)
+    seq.run_to_completion(dz=1.0, chunk=4)
+    calls = []
+    pipe.run_to_completion(dz=1.0, chunk=4, pipelined=True,
+                           callback=lambda e: calls.append(e.tick))
+    assert pipe.completed
+    assert calls  # callback fires once per collected chunk
+    np.testing.assert_array_equal(np.asarray(seq.positions),
+                                  np.asarray(pipe.positions))
+    for key in ("energy", "redshift", "time_gyr", "bao_scale",
+                "clustering"):
+        assert seq.history[key] == pipe.history[key], key
+    assert len(seq.history["exploits"]) == len(pipe.history["exploits"])
+    for a, b in zip(seq.history["exploits"], pipe.history["exploits"]):
+        assert a["tick"] == b["tick"]
+        assert a["redshift"] == b["redshift"]
+        assert a["relativity"].max_gamma == b["relativity"].max_gamma
+        assert (a["landauer"].total_bits_current
+                == b["landauer"].total_bits_current)
+    assert ([e.glitch_type for e in seq.history["glitches"]]
+            == [e.glitch_type for e in pipe.history["glitches"]])
+    assert (seq.glitch_detector.subnormal_history
+            == pipe.glitch_detector.subnormal_history)
+
+
+def test_dispatch_collect_split_equals_step():
+    """step() is exactly dispatch_step()+collect_step(); interleaving two
+    dispatches before their collects must preserve history order."""
+    kw = dict(num_particles=256, start_redshift=10.0, precision="float32",
+              dim=2, n_grid=16, seed=11)
+    a = cosmo.CosmologicalEngine(**kw)
+    b = cosmo.CosmologicalEngine(**kw)
+    a.step(1.0, 2)
+    a.step(1.0, 3)
+    p1 = b.dispatch_step(1.0, 2)
+    p2 = b.dispatch_step(1.0, 3)  # dispatched before p1 is collected
+    assert b.tick == 5 and abs(b.redshift - 5.0) < 1e-5  # no device sync
+    b.collect_step(p1)
+    b.collect_step(p2)
+    assert a.history["energy"] == b.history["energy"]
+    assert a.history["clustering"] == b.history["clustering"]
+    np.testing.assert_array_equal(np.asarray(a.positions),
+                                  np.asarray(b.positions))
