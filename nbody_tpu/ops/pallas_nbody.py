@@ -575,8 +575,9 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
         # Largest chunk whose grid-resident arrays (the (D+1, chunk)
         # source + (D, chunk) reaction buffer) fit ~10.5 MB of VMEM,
         # then the chunk count that minimises tail padding. Measured at
-        # N=1M 2-D: 2x524288 chunks hit 3.07e11 pairs/s f32 vs 2.87e11
-        # for 4x262144 and 2.32e11 for 3 padded chunks (docs/PERF.md).
+        # N=1M 2-D with the 256x2048 pair tiles: 2x524288 chunks hit
+        # 3.44e11 pairs/s f32 (2x262144 chunked layouts and padded chunk
+        # counts all measured slower; docs/PERF.md).
         max_chunk = 10_500_000 // (4 * (2 * dim + 1))
         n_chunks = -(-n // max(max_chunk, 512))
         chunk = -(-n // n_chunks)
@@ -608,7 +609,8 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
         for j in range(i + 1, n_chunks):
             rows, cols = pallas_pair_force_sym(
                 pos_i, gm_i, pos_pad[sl(j)], gm_pad[sl(j)], q, cfg,
-                log_lo=log_lo, log_hi=log_hi, interpret=interpret)
+                log_lo=log_lo, log_hi=log_hi, interpret=interpret,
+                block_i=256, block_j=2048)
             acc_i = acc_i + rows
             acc = acc.at[sl(j)].add(cols)
         acc = acc.at[sl(i)].add(acc_i)
@@ -698,7 +700,7 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
 def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
                           q: Quantizer, cfg: SimConfig,
                           log_lo=None, log_hi=None,
-                          block_i: int = 512, block_j: int = 512,
+                          block_i: int = 256, block_j: int = 2048,
                           interpret: bool | None = None):
     """Pair forces between two disjoint sets with Newton's-third-law reuse.
 

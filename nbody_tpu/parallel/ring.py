@@ -289,8 +289,8 @@ def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
 
         return pallas_pair_force_sym(
             xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
-            block_i=min(512, _round_up(xi.shape[0], 8)),
-            block_j=min(512, _round_up(xj.shape[0], 128)))
+            block_i=min(256, _round_up(xi.shape[0], 8)),
+            block_j=min(2048, _round_up(xj.shape[0], 128)))
     diff = xj[None, :, :] - xi[:, None, :]  # (Bi, Bj, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
