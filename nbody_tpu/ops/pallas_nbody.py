@@ -147,33 +147,40 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
 
 def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
                       out_col_ref, *, q: Quantizer, self_masked: bool,
-                      dim: int, block: int, n_pad: int):
-    """Newton's-third-law force kernel: each unordered pair computed once.
+                      dim: int, block_i: int, block_j: int, n_pad: int):
+    """Newton's-third-law force kernel: each cross-super-chunk unordered
+    pair computed once.
 
-    Receiver block I (sublane-major) sweeps source chunks J >= I only.
-    The expensive pair work (d^2, quantize chain, inverse-cube) runs once
-    per unordered pair; the direct contribution accumulates into this
-    block's rows while the reaction (-gm_i * w * diff) accumulates into a
-    lane-major (D, N_pad) column buffer resident in VMEM across the whole
-    grid (sequential 'arbitrary' grid semantics make the cross-step
-    read-modify-write safe). The diagonal tile I==I is computed as a full
-    (B, B) tile with row sums only. Final acceleration = rows + cols^T.
+    Receiver blocks are BI sublanes; sources stream in BJ-lane slices
+    ("super-chunks", BJ a multiple of BI — 2048 lanes measured +24% over
+    512 on chip). Receiver block I sweeps source super-chunks strictly
+    after its own: the expensive pair work (d^2, quantize chain,
+    inverse-cube) runs once per cross-chunk pair; the direct contribution
+    accumulates into this block's rows while the reaction
+    (-gm_i * w * diff) accumulates into a lane-major (D, N_pad) column
+    buffer resident in VMEM across the whole grid (sequential 'arbitrary'
+    grid semantics make the cross-step read-modify-write safe). The
+    receiver's own super-chunk is computed as a full (BI, BJ) tile with
+    row sums only — both directions of intra-super-chunk pairs are direct
+    row work, duplicating ≤ BJ/N of the pair evaluations (1.6% at
+    N=131k). Final acceleration = rows + cols^T.
 
-    pos_i_ref: (B, D+1) — receiver coords + a G*m_i column (sublane-major)
+    pos_i_ref: (BI, D+1) — receiver coords + a G*m_i column (sublane-major)
     src_ref:   (D+1, N_pad) — coords + G*m_j row (lane-major)
-    out_row_ref: (B, D) this block's direct sums
+    out_row_ref: (BI, D) this block's direct sums
     out_col_ref: (D, N_pad) reaction sums, shared across grid steps
     """
     pid = pl.program_id(0)
-    i0 = pid * block
-    num_j = n_pad // block
+    i0 = pid * block_i
+    num_j = n_pad // block_j
+    sj = i0 // block_j  # this receiver block's own super-chunk
 
     @pl.when(pid == 0)
     def _init_cols():
         out_col_ref[...] = jnp.zeros_like(out_col_ref)
 
     xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
-    gm_i = pos_i_ref[:, dim:dim + 1]  # (B, 1)
+    gm_i = pos_i_ref[:, dim:dim + 1]  # (BI, 1)
 
     log_lo = bounds_ref[0, 0]
     log_hi = bounds_ref[0, 1]
@@ -200,48 +207,51 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         return inv_d * inv_d * inv_d
 
     def tile(j0):
-        xj = [src_ref[d:d + 1, pl.ds(j0, block)] for d in range(dim)]
-        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block)]  # (1, B)
+        xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
+        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]  # (1, BJ)
         diffs = [xj[d] - xi[d] for d in range(dim)]
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
             d2 = d2 + diffs[d] * diffs[d]
         return xj, gm_j, diffs, pair_w(d2 + softening_sq)
 
-    # Diagonal tile: full compute, row sums only (both pair directions of
-    # intra-block pairs live in this one tile).
-    _, gm_j, diffs, w = tile(i0)
+    # Own super-chunk: full compute, row sums only (both pair directions
+    # of intra-super-chunk pairs live in receiver-row tiles).
+    _, gm_j, diffs, w = tile(sj * block_j)
     factor = gm_j * w
     if self_masked:
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
+        c_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+                 + sj * block_j)
         factor = jnp.where(r_ids == c_ids, 0.0, factor)
     acc0 = tuple(jnp.sum(factor * diffs[d], axis=1, keepdims=True)
                  for d in range(dim))
 
     def j_chunk(jc, acc):
-        j0 = jc * block
+        j0 = jc * block_j
         _, gm_j, diffs, w = tile(j0)
         fr = gm_j * w                       # direct: on this block's rows
         fc = gm_i * w                       # reaction: on chunk J's cols
         for d in range(dim):
-            col = -jnp.sum(fc * diffs[d], axis=0, keepdims=True)  # (1, B)
-            out_col_ref[d:d + 1, pl.ds(j0, block)] += col
+            col = -jnp.sum(fc * diffs[d], axis=0, keepdims=True)  # (1, BJ)
+            out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
         return tuple(
             acc[d] + jnp.sum(fr * diffs[d], axis=1, keepdims=True)
             for d in range(dim)
         )
 
-    acc = jax.lax.fori_loop(pid + 1, num_j, j_chunk, acc0)
+    acc = jax.lax.fori_loop(sj + 1, num_j, j_chunk, acc0)
     for d in range(dim):
         out_row_ref[:, d:d + 1] = acc[d]
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
-                                             "block", "interpret"))
+                                             "block", "block_j",
+                                             "interpret"))
 def pallas_accelerations_sym(positions, masses, q: Quantizer,
                              cfg: SimConfig, quantize_forces: bool = True,
-                             block: int = 512,
+                             block: int | None = None,
+                             block_j: int | None = None,
                              interpret: bool | None = None,
                              softening_sq=None,
                              log_lo=None, log_hi=None, gm=None):
@@ -250,6 +260,14 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     evaluates the full (N, N) tensor, simulation.py:83-112; this computes
     identical sums with a different, still-deterministic association
     order — f32 rounding-level deltas only).
+
+    ``block`` is the receiver (sublane) block; ``block_j`` the streamed
+    source slice width (always a multiple of ``block`` so receiver
+    blocks never straddle a source super-chunk). Defaults (512, 1024)
+    measured best on chip for THIS resident-source kernel — unlike the
+    disjoint-set pair kernel, where 2048-lane slices win by 24%,
+    (512, 2048) here exceeds the 16 MB VMEM scoped stack and
+    (256, 2048) loses 17% (docs/PERF.md sweep table).
 
     ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
     (the half-ring schedule owns the global ring-wide bounds and uses
@@ -262,7 +280,18 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
         softening_sq = cfg.softening_sq
 
     n, dim = positions.shape
-    n_pad = _round_up(max(n, block), math.lcm(block, 128))
+    if block is None:
+        # On-chip sweep at N=131k: int4's longer per-pair chain prefers
+        # 256-sublane receiver blocks (2.343e11 vs 2.286e11 pairs/s);
+        # f32 prefers 512 (3.243e11 vs 3.150e11).
+        block = 256 if q.is_int else 512
+    quantum = math.lcm(block, 128)
+    if block_j is None:
+        block_j = min(_round_up(1024, quantum),
+                      _round_up(max(n, block), quantum))
+    else:
+        block_j = _round_up(block_j, quantum)
+    n_pad = _round_up(max(n, block_j), block_j)
 
     positions = positions.astype(jnp.float32)
     if gm is None:
@@ -291,7 +320,7 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     kernel = functools.partial(
         _force_kernel_sym, q=q,
         self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
-        block=block, n_pad=n_pad)
+        block_i=block, block_j=block_j, n_pad=n_pad)
 
     grid = (n_pad // block,)
     rows, cols = pl.pallas_call(
@@ -576,8 +605,8 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
         # source + (D, chunk) reaction buffer) fit ~10.5 MB of VMEM,
         # then the chunk count that minimises tail padding. Measured at
         # N=1M 2-D with the 256x2048 pair tiles: 2x524288 chunks hit
-        # 3.44e11 pairs/s f32 (2x262144 chunked layouts and padded chunk
-        # counts all measured slower; docs/PERF.md).
+        # 3.49e11 pairs/s f32 (4x262144 and padded 3-chunk layouts
+        # measured slower; docs/PERF.md).
         max_chunk = 10_500_000 // (4 * (2 * dim + 1))
         n_chunks = -(-n // max(max_chunk, 512))
         chunk = -(-n // n_chunks)
