@@ -228,3 +228,22 @@ def test_slab_gather_matches_replicate_gather(mesh8, precision):
     np.testing.assert_allclose(np.asarray(slab_stream.kinetic),
                                np.asarray(rep_stream.kinetic),
                                rtol=1e-5, atol=1e-10)
+
+
+def test_mesh_engine_pipelined_matches_sequential(mesh8):
+    """The dispatch/collect pipeline must be history-identical to the
+    sequential step() on the SHARDED engine path too (probe bundle +
+    async copies over sharded arrays)."""
+    kw = dict(num_particles=1024, start_redshift=8.0, precision="int4",
+              dim=2, n_grid=32, seed=5)
+    seq = cosmo.CosmologicalEngine(mesh=mesh8, **kw)
+    pipe = cosmo.CosmologicalEngine(mesh=mesh8, **kw)
+    seq.run_to_completion(dz=1.0, chunk=3)
+    pipe.run_to_completion(dz=1.0, chunk=3, pipelined=True)
+    assert pipe.completed
+    np.testing.assert_array_equal(np.asarray(seq.positions),
+                                  np.asarray(pipe.positions))
+    for key in ("energy", "redshift", "bao_scale", "clustering"):
+        assert seq.history[key] == pipe.history[key], key
+    assert ([g.glitch_type for g in seq.history["glitches"]]
+            == [g.glitch_type for g in pipe.history["glitches"]])
