@@ -253,7 +253,15 @@ class CosmologicalEngine:
             n_grid = 128 if dim == 2 else 32
         self.cfg = PMConfig(dim=dim, n_grid=n_grid, box_size=box_size_mpc,
                             dm_ratio=dm_ratio, deposit=deposit,
-                            min_redshift=min_redshift)
+                            # Normalize to the f32-representable value:
+                            # the schedule clamps z at min_redshift in
+                            # f64 but the state stores f32, so a
+                            # min_redshift that rounds UP in f32 (0.1,
+                            # 0.3, ...) would leave state.redshift
+                            # strictly above the raw threshold and
+                            # run_to_completion would spin forever on
+                            # 1-step chunks.
+                            min_redshift=float(np.float32(min_redshift)))
         self.quantizer = Quantizer.from_string(precision)
         self.precision_str = precision
         # Optional 1-D particle mesh: every step runs the sharded PM
@@ -368,7 +376,12 @@ class CosmologicalEngine:
     # -- schedule -----------------------------------------------------------
 
     def _build_schedule(self, dz: float, num_steps: int):
-        """Host-side (z, dt, H, a) table for the next num_steps steps."""
+        """Host-side (z, dt, H, a) table for the next num_steps steps.
+
+        Returns ``(schedule_arrays, z_end)`` where ``z_end`` is the
+        f32-exact end-of-chunk redshift (identical to what the scan will
+        store in ``state.redshift``) — the single source for the host
+        shadows, so the schedule and the shadow can never diverge."""
         z = self.redshift
         zs, dts, Hs, As = [], [], [], []
         for _ in range(num_steps):
@@ -380,8 +393,9 @@ class CosmologicalEngine:
             Hs.append(self.cosmo.hubble_parameter(z))
             As.append(1.0 / (1.0 + z))
             z = z_new
-        return (jnp.asarray(zs, jnp.float32), jnp.asarray(dts, jnp.float32),
-                jnp.asarray(Hs, jnp.float32), jnp.asarray(As, jnp.float32))
+        arrays = (jnp.asarray(zs, jnp.float32), jnp.asarray(dts, jnp.float32),
+                  jnp.asarray(Hs, jnp.float32), jnp.asarray(As, jnp.float32))
+        return arrays, float(np.float32(zs[-1]))
 
     # -- stepping -----------------------------------------------------------
 
@@ -405,7 +419,7 @@ class CosmologicalEngine:
             self._mark_complete()
             return None
 
-        schedule = self._build_schedule(dz, num_steps)
+        schedule, z_end = self._build_schedule(dz, num_steps)
         if self.mesh is not None:
             from nbody_tpu.parallel import pm_sharded
 
@@ -428,13 +442,8 @@ class CosmologicalEngine:
         # (reference cadence: universe_2d.py:877).
         eng.rotate_observer(5.0)
 
-        # Advance the host shadows with the exact f32 schedule recurrence
-        # (mirrors _build_schedule, so shadow == device state.redshift;
-        # the self.redshift read above already synced the shadows).
-        z = self._z_host
-        for _ in range(num_steps):
-            z = max(self.cfg.min_redshift, z - dz)
-        z_end = float(np.float32(z))
+        # Advance the host shadows from the schedule itself (z_end is the
+        # f32-exact value the scan stores in state.redshift).
         self._z_host = z_end
         self._tick_host = self._tick_host + num_steps
 
@@ -443,7 +452,9 @@ class CosmologicalEngine:
             z_end=z_end, stream=stream, probes=probes,
             positions=self._state.positions,
             velocities=self._state.velocities)
-        for leaf in jax.tree_util.tree_leaves(pending[3:]):
+        for leaf in jax.tree_util.tree_leaves(
+                (pending.stream, pending.probes, pending.positions,
+                 pending.velocities)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
 
@@ -542,7 +553,12 @@ class CosmologicalEngine:
         pipelined=True overlaps chunk k's host-side detectors with chunk
         k+1's device compute (one chunk of latency between dispatch and
         history append; histories are bit-identical to the sequential
-        path and fully drained on return)."""
+        path and fully drained on return). Note for callbacks: in
+        pipelined mode the callback fires after chunk k's histories are
+        appended but chunk k+1 is already dispatched, so live properties
+        (``engine.tick``/``redshift``/``positions``) are one chunk AHEAD
+        of the histories — consume ``engine.history`` (authoritative,
+        self-consistent) rather than pairing it with live properties."""
         if not pipelined:
             while not self.completed:
                 remaining = (self.redshift - self.cfg.min_redshift) / dz

@@ -49,6 +49,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block_j(n_j: int, cap: int = 2048, max_waste: float = 0.125) -> int:
+    """Largest power-of-two lane-slice width <= cap whose padding of an
+    n_j-row source stays under max_waste. Padded source lanes are
+    computed at full cost, so a fixed 2048 slice on e.g. a 2500-row ring
+    shard would pad to 4096 (64% wasted pair work); this ladder picks
+    512 there (2.4%) while keeping the fast 2048 slices whenever the
+    source size cooperates."""
+    for bj in (2048, 1024, 512, 256, 128):
+        if bj > cap:
+            continue
+        pad = _round_up(max(n_j, bj), bj)
+        if pad - n_j <= max_waste * n_j:
+            return bj
+    return min(cap, _round_up(max(n_j, 128), 128))
+
+
 def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
                   *, q: Quantizer, self_masked: bool, dim: int,
                   block_i: int, block_j: int, n_pad: int):
@@ -263,10 +279,11 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
 
     ``block`` is the receiver (sublane) block; ``block_j`` the streamed
     source slice width (always a multiple of ``block`` so receiver
-    blocks never straddle a source super-chunk). Defaults (512, 1024)
-    measured best on chip for THIS resident-source kernel — unlike the
-    disjoint-set pair kernel, where 2048-lane slices win by 24%,
-    (512, 2048) here exceeds the 16 MB VMEM scoped stack and
+    blocks never straddle a source super-chunk). Defaults — receiver
+    block 512 for float modes / 256 for int-sim modes, 1024-lane
+    slices — measured best on chip for THIS resident-source kernel
+    (unlike the disjoint-set pair kernel, where 2048-lane slices win by
+    24%): (512, 2048) here exceeds the 16 MB VMEM scoped stack and
     (256, 2048) loses 17% (docs/PERF.md sweep table).
 
     ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
@@ -638,8 +655,7 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
         for j in range(i + 1, n_chunks):
             rows, cols = pallas_pair_force_sym(
                 pos_i, gm_i, pos_pad[sl(j)], gm_pad[sl(j)], q, cfg,
-                log_lo=log_lo, log_hi=log_hi, interpret=interpret,
-                block_i=256, block_j=2048)
+                log_lo=log_lo, log_hi=log_hi, interpret=interpret)
             acc_i = acc_i + rows
             acc = acc.at[sl(j)].add(cols)
         acc = acc.at[sl(i)].add(acc_i)
@@ -729,7 +745,7 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
 def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
                           q: Quantizer, cfg: SimConfig,
                           log_lo=None, log_hi=None,
-                          block_i: int = 256, block_j: int = 2048,
+                          block_i: int = 256, block_j: int | None = None,
                           interpret: bool | None = None):
     """Pair forces between two disjoint sets with Newton's-third-law reuse.
 
@@ -743,6 +759,10 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
         interpret = jax.default_backend() != "tpu"
     n_i, dim = receivers.shape
     n_j = sources.shape[0]
+    if block_j is None:
+        # 2048-lane slices are +24% over 512 on chip (docs/PERF.md), but
+        # only when the source size doesn't force pathological padding.
+        block_j = _pick_block_j(n_j)
     ni_pad = _round_up(max(n_i, block_i), block_i)
     nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
 
@@ -1019,7 +1039,7 @@ def pallas_pair_max(receivers, sources, valid_i, valid_j,
                                              "block_j", "interpret"))
 def pallas_pair_force(receivers, sources, gm_sources, q: Quantizer,
                       cfg: SimConfig, log_lo=None, log_hi=None,
-                      block_i: int = 512, block_j: int = 2048,
+                      block_i: int = 512, block_j: int | None = None,
                       interpret: bool | None = None):
     """Accelerations of `receivers` due to `sources` (disjoint or equal
     sets) — the per-device tile of the multi-chip ring kernel
@@ -1035,6 +1055,8 @@ def pallas_pair_force(receivers, sources, gm_sources, q: Quantizer,
         interpret = jax.default_backend() != "tpu"
     n_i, dim = receivers.shape
     n_j = sources.shape[0]
+    if block_j is None:
+        block_j = _pick_block_j(n_j)
     ni_pad = _round_up(max(n_i, block_i), block_i)
     nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
 

@@ -91,11 +91,12 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
         # Small-shard block sizes are rounded up to the TPU tile quanta
         # (sublane 8 / lane 128) — Mosaic rejects ragged blocks on real
         # hardware; pallas_pair_force pads receivers/sources to the block.
+        # block_j defaults to the padding-aware lane ladder
+        # (ops/pallas_nbody._pick_block_j) — fast 2048 slices when the
+        # shard size cooperates, narrower when padding would dominate.
         return pallas_pair_force(xi, xj, gm_j, q, cfg,
                                  log_lo=log_lo, log_hi=log_hi,
-                                 block_i=min(512, _round_up(xi.shape[0], 8)),
-                                 block_j=min(2048,
-                                             _round_up(xj.shape[0], 128)))
+                                 block_i=min(512, _round_up(xi.shape[0], 8)))
     diff = xj[None, :, :] - xi[:, None, :]  # (B, B, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -289,8 +290,7 @@ def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
 
         return pallas_pair_force_sym(
             xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
-            block_i=min(256, _round_up(xi.shape[0], 8)),
-            block_j=min(2048, _round_up(xj.shape[0], 128)))
+            block_i=min(256, _round_up(xi.shape[0], 8)))
     diff = xj[None, :, :] - xi[:, None, :]  # (Bi, Bj, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)

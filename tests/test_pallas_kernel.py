@@ -314,3 +314,21 @@ def test_pallas_sym_chunked_dynamic_softening_fallback():
     want = forces.dense_accelerations(pos, m, Quantizer(), cfg2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+@pytest.mark.parametrize("block_j", [128, 256])
+def test_sym_multi_super_chunk(mode, block_j):
+    """Exercise the resident sym kernel's CROSS-super-chunk path (the
+    fori_loop + reaction-column accumulation + sj triangle arithmetic):
+    block=128 with n=640 gives several source super-chunks, including
+    the block_j != block case where receiver blocks sit inside a wider
+    super-chunk and the diagonal super-tile duplicates intra-chunk
+    work as row sums."""
+    pos, vel, m = _ics(640)
+    q = Quantizer(mode)
+    a_sym = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     block_j=block_j)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)

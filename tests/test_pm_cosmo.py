@@ -342,3 +342,19 @@ def test_dispatch_collect_split_equals_step():
     assert a.history["clustering"] == b.history["clustering"]
     np.testing.assert_array_equal(np.asarray(a.positions),
                                   np.asarray(b.positions))
+
+
+def test_completion_with_f32_rounding_min_redshift():
+    """min_redshift values that round UP in f32 (0.1, 0.3, ...) must
+    still complete: the engine normalizes the threshold to its f32
+    value so the f64 schedule clamp and the f32 state agree (otherwise
+    run_to_completion spins forever on 1-step chunks)."""
+    e = cosmo.CosmologicalEngine(num_particles=64, start_redshift=3.0,
+                                 precision="float32", dim=2, n_grid=16,
+                                 min_redshift=0.1)
+    for _ in range(20):  # bounded manual loop so a regression can't hang CI
+        e.step(1.0, num_steps=2)
+        if e.completed:
+            break
+    assert e.completed
+    assert abs(e.redshift - 0.1) < 1e-6

@@ -71,7 +71,7 @@ def test_sharded_pm_short_horizon(mesh8, precision):
     e = _engine(precision=precision)
     _, st = _tame_state()
     st = st._replace(positions=e.state.positions)
-    schedule = e._build_schedule(1.0, 3)
+    schedule, _ = e._build_schedule(1.0, 3)
     sharded, sh_stream = pm_sharded.run_pm_steps_sharded(
         st, schedule, e.quantizer, e.cfg, mesh8,
         quantize_forces=e.quantizer.is_int)
@@ -97,7 +97,7 @@ def test_sharded_pm_short_horizon(mesh8, precision):
 def test_sharded_pm_unaligned_particles(mesh8):
     """Particle count not divisible by shard count (padding path)."""
     e, st = _tame_state(n=900)  # 30^2 = 900, not divisible by 8
-    schedule = e._build_schedule(1.0, 2)
+    schedule, _ = e._build_schedule(1.0, 2)
     sharded, sh_stream = pm_sharded.run_pm_steps_sharded(
         st, schedule, e.quantizer, e.cfg, mesh8)
     single, stream = cosmo.run_pm_steps(st, schedule, e.quantizer, e.cfg)
@@ -127,7 +127,7 @@ def test_sharded_fft_pm_matches_replicated(mesh8, precision):
     cfg = dataclasses.replace(e.cfg, G=cosmo.G_NEWTON)
     _, st = _tame_state()
     st = st._replace(positions=e.state.positions)
-    schedule = e._build_schedule(1.0, 3)
+    schedule, _ = e._build_schedule(1.0, 3)
     qf = e.quantizer.is_int
     fft_state, fft_stream = pm_sharded.run_pm_steps_sharded_fft(
         st, schedule, e.quantizer, cfg, mesh8, quantize_forces=qf)
@@ -214,7 +214,7 @@ def test_slab_gather_matches_replicate_gather(mesh8, precision):
     cfg = dataclasses.replace(e.cfg, G=cosmo.G_NEWTON)
     _, st = _tame_state()
     st = st._replace(positions=e.state.positions)
-    schedule = e._build_schedule(1.0, 3)
+    schedule, _ = e._build_schedule(1.0, 3)
     qf = e.quantizer.is_int
     slab_state, slab_stream = pm_sharded.run_pm_steps_sharded_fft(
         st, schedule, e.quantizer, cfg, mesh8, quantize_forces=qf,
