@@ -106,6 +106,39 @@ def main():
         result["n1m_f32_value"] = measure_big(Precision.FLOAT32, False)
         result["n1m_int4_value"] = measure_big(Precision.INT4_SIM, True)
 
+        # Engine-level arm: the 256^3-grid PM cosmology engine at 262k
+        # particles under int4 with EVERY host detector live (glitch
+        # stream, entropy, BAO/clustering P(k), exploit probes), on the
+        # pipelined dispatch/collect path. Guarded so a transient engine
+        # issue can never sink the kernel headline numbers.
+        try:
+            from nbody_tpu.engines import cosmo
+            from nbody_tpu.parallel import ring as _ring
+
+            eng = cosmo.CosmologicalEngine(
+                num_particles=262144, start_redshift=80.0, precision="int4",
+                dim=3, n_grid=256, box_size_mpc=400.0, seed=1,
+                mesh=_ring.make_particle_mesh())
+            eng.step(dz=0.1, num_steps=10)  # compile + warmup
+            np.asarray(eng.positions[:1])
+            n_chunks = 4
+            t0 = time.time()
+            pending = None
+            for _ in range(n_chunks):
+                nxt = eng.dispatch_step(0.1, 10)
+                if pending is not None:
+                    eng.collect_step(pending)
+                pending = nxt
+            if pending is not None:
+                eng.collect_step(pending)
+            np.asarray(eng.positions[:1])
+            ms = (time.time() - t0) / (n_chunks * 10) * 1e3
+            log(f"pm256 int4 engine (pipelined, full detectors): "
+                f"{ms:.1f} ms/step")
+            result["pm256_int4_engine_ms_per_step"] = ms
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"pm256 engine arm skipped: {type(e).__name__}: {e}")
+
     print(json.dumps(result))
 
 
