@@ -177,7 +177,7 @@ class CosmicWebEngine:
         self.target_dt = 1.0 / target_fps
         self.steps_per_frame = steps_per_frame
         self.engine = None
-        self.snapshots = SnapshotStream()
+        self._pending = None  # in-flight dispatched chunk
 
     def _new_engine(self):
         from nbody_tpu.engines.cosmo import CosmologicalEngine
@@ -205,36 +205,47 @@ class CosmicWebEngine:
     def pump(self):
         """One producer iteration (call from the main loop).
 
-        The fused device step is dispatched, then the new state enters
-        the double-buffered SnapshotStream: its host copy streams in the
-        background while the PREVIOUS frame (already on host) publishes
-        to the monitors — the render/monitor cadence never blocks on the
-        device beyond the step's own diagnostics sync."""
+        Pipelined via the engine's dispatch/collect split: frame k+1's
+        device chunk is dispatched (async host copies start immediately),
+        THEN frame k's chunk is collected — its detectors and transfers
+        overlapped frame k+1's device compute — and published to the
+        monitors as a fully history-consistent (tick, z, ke, state)
+        bundle straight from the collect-side host arrays (no second
+        device->host transfer)."""
         engine = self.engine
         t0 = time.perf_counter()
         if engine.completed:
+            self.drain()
             engine = self.engine = self._new_engine()
         dz = 0.05
-        engine.step(dz, num_steps=self.steps_per_frame)
-        arrays, meta = self.snapshots.push(
-            (engine.state.positions, engine.state.velocities),
-            {"tick": engine.tick, "redshift": engine.redshift,
-             "ke": (engine.history["energy"][-1]
-                    if engine.history["energy"] else 0.0)})
+        nxt = engine.dispatch_step(dz, num_steps=self.steps_per_frame)
+        if self._pending is not None:
+            self._collect_publish(self._pending)
+        self._pending = nxt
         step_ms = (time.perf_counter() - t0) * 1e3
         with self.state.lock:
             self.state.step_times_ms.append(step_ms)
             if len(self.state.step_times_ms) > 300:
                 del self.state.step_times_ms[:100]
-        self._publish(arrays, meta)
         self.state.clock.beat("cosmic_web")
         sleep = self.target_dt - (time.perf_counter() - t0)
         if sleep > 0:
             time.sleep(sleep)
 
+    def _collect_publish(self, pending):
+        pos_h, vel_h = self.engine.collect_step(pending)
+        ke = (self.engine.history["energy"][-1]
+              if self.engine.history["energy"] else 0.0)
+        self._publish((pos_h, vel_h),
+                      {"tick": pending.tick_start + pending.num_steps,
+                       "redshift": pending.z_end, "ke": ke})
+
     def drain(self):
-        """Publish the final in-flight snapshot (call at shutdown)."""
-        self._publish(*self.snapshots.flush())
+        """Collect + publish the final in-flight chunk (at shutdown or
+        before the engine is replaced on completion)."""
+        if self._pending is not None:
+            self._collect_publish(self._pending)
+            self._pending = None
 
 
 class BAOSolver(threading.Thread):
