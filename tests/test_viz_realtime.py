@@ -157,3 +157,25 @@ def test_realtime_pump_publishes_lagged_snapshot():
     assert st.metrics.tick == tick0 + 2
     assert st.positions is not None
     assert np.isfinite(st.positions).all()
+
+
+def test_realtime_pump_frames_are_history_consistent():
+    """The pipelined pump must publish (tick, z, ke, state) bundles that
+    agree with the engine's own histories — the published ke is the
+    energy history entry for exactly the published tick, and the
+    published state is the post-chunk state of that tick."""
+    from nbody_tpu.realtime.engine import CosmicWebEngine, SharedState
+
+    st = SharedState()
+    prod = CosmicWebEngine(st, num_particles=256, precision="int4",
+                           seed=2, target_fps=1000.0, steps_per_frame=2)
+    prod.start()
+    for _ in range(4):
+        prod.pump()
+    prod.drain()
+    eng = prod.engine
+    assert st.metrics.tick == eng.tick
+    assert st.metrics.kinetic_energy == eng.history["energy"][-1]
+    assert abs(st.metrics.redshift - eng.redshift) < 1e-6
+    np.testing.assert_array_equal(st.positions,
+                                  np.asarray(eng.positions))
