@@ -76,9 +76,15 @@ def exploit_device_metrics(positions, velocities, prev_positions,
                            observer_pos, observer_dir,
                            c_sim: float = C_SIM_MPC_GYR,
                            fov_cos: float = 0.866,
-                           snap_threshold: float = 0.1) -> ExploitDeviceMetrics:
+                           snap_threshold: float = 0.1,
+                           valid=None) -> ExploitDeviceMetrics:
     """Device half of the exploit probes
-    (reference: universe_2d.py:517-786, fused)."""
+    (reference: universe_2d.py:517-786, fused).
+
+    ``valid`` optionally masks padded phantom rows out of every
+    statistic (resident-sharded engine state is padded to a shard
+    multiple; phantoms sit at the origin with zero velocity and would
+    otherwise pollute the frustum counts and velocity moments)."""
     v_sq = jnp.sum(velocities * velocities, axis=-1)
     beta_sq = jnp.clip(v_sq / (c_sim * c_sim), 0.0, 0.9999)
     gamma = 1.0 / jnp.sqrt(1.0 - beta_sq)
@@ -94,14 +100,35 @@ def exploit_device_metrics(positions, velocities, prev_positions,
     pos_delta = jnp.sum(jnp.abs(positions - prev_positions), axis=1)
     snapped = jnp.logical_and(in_frustum, pos_delta > snap_threshold)
 
+    if valid is None:
+        return ExploitDeviceMetrics(
+            max_gamma=jnp.max(gamma),
+            near_c_09=jnp.sum(beta > 0.9).astype(jnp.int32),
+            near_c_099=jnp.sum(beta > 0.99).astype(jnp.int32),
+            v_mean=jnp.mean(v_mag),
+            v_std=jnp.std(velocities),
+            in_frustum=jnp.sum(in_frustum).astype(jnp.int32),
+            snap_events=jnp.sum(snapped).astype(jnp.int32),
+        )
+
+    vb = valid.astype(bool)
+    vf = valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(vf), 1.0)
+    dim = velocities.shape[1]
+    # masked mean/std over all velocity components (matches
+    # jnp.mean/std over the trimmed array)
+    comp_sum = jnp.sum(velocities * vf[:, None])
+    comp_mu = comp_sum / (cnt * dim)
+    comp_var = jnp.sum(((velocities - comp_mu) ** 2) * vf[:, None]) / (
+        cnt * dim)
     return ExploitDeviceMetrics(
-        max_gamma=jnp.max(gamma),
-        near_c_09=jnp.sum(beta > 0.9).astype(jnp.int32),
-        near_c_099=jnp.sum(beta > 0.99).astype(jnp.int32),
-        v_mean=jnp.mean(v_mag),
-        v_std=jnp.std(velocities),
-        in_frustum=jnp.sum(in_frustum).astype(jnp.int32),
-        snap_events=jnp.sum(snapped).astype(jnp.int32),
+        max_gamma=jnp.max(jnp.where(vb, gamma, 1.0)),
+        near_c_09=jnp.sum((beta > 0.9) & vb).astype(jnp.int32),
+        near_c_099=jnp.sum((beta > 0.99) & vb).astype(jnp.int32),
+        v_mean=jnp.sum(v_mag * vf) / cnt,
+        v_std=jnp.sqrt(comp_var),
+        in_frustum=jnp.sum(in_frustum & vb).astype(jnp.int32),
+        snap_events=jnp.sum(snapped & vb).astype(jnp.int32),
     )
 
 

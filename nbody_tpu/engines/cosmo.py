@@ -89,18 +89,102 @@ class ProbeBundle(NamedTuple):
     exploit: glitch_lib.ExploitDeviceMetrics
 
 
-@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos"))
+@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos",
+                                             "n_valid"))
 def probe_bundle(positions, velocities, prev_positions, obs_pos, obs_dir,
-                 box_size: float, c_sim: float, fov_cos: float) -> ProbeBundle:
+                 box_size: float, c_sim: float, fov_cos: float,
+                 n_valid: int | None = None) -> ProbeBundle:
     """Fuse the power spectrum, clustering metric, and exploit device
     metrics into a single dispatch so the pipelined engine pays one launch
-    + one async fetch per chunk."""
-    k, pk = pm.power_spectrum(positions, box_size)
-    clus = pm.clustering_metric(positions, box_size)
+    + one async fetch per chunk.
+
+    ``n_valid`` (static) masks padded resident-sharded phantom rows out
+    of every statistic via 0/1 weights — masking (not slicing) keeps the
+    inputs sharded with no gather, and a sharded dim cannot be sliced to
+    a non-divisible length anyway."""
+    if n_valid is not None and n_valid != positions.shape[0]:
+        valid = (jnp.arange(positions.shape[0]) < n_valid)
+        weights = valid.astype(jnp.float32)
+    else:
+        valid = weights = None
+    k, pk = pm.power_spectrum(positions, box_size, weights=weights)
+    clus = pm.clustering_metric(positions, box_size, weights=weights)
     dm = glitch_lib.exploit_device_metrics(positions, velocities,
                                            prev_positions, obs_pos, obs_dir,
-                                           c_sim, fov_cos)
+                                           c_sim, fov_cos, valid=valid)
     return ProbeBundle(k, pk, clus, dm)
+
+
+@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos",
+                                             "n_valid", "mesh"))
+def probe_bundle_sharded(positions, velocities, prev_positions,
+                         obs_pos, obs_dir, box_size: float, c_sim: float,
+                         fov_cos: float, n_valid: int,
+                         mesh) -> ProbeBundle:
+    """probe_bundle for resident-sharded (padded) state: per-shard NGP
+    deposits + psum'd grids (O(grid) interconnect traffic, never a
+    particle gather) and masked partial sums for the exploit scalars.
+    Matches probe_bundle on trimmed state up to f32 summation order."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.parallel.ring import AXIS
+
+    snap_threshold = 0.1
+
+    def local(p_l, v_l, pv_l, ids_l, obs_pos, obs_dir):
+        valid = ids_l < n_valid
+        w = valid.astype(jnp.float32)
+        d64 = jax.lax.psum(pm.ngp_deposit(p_l, w, 64, box_size), AXIS)
+        d32 = jax.lax.psum(pm.ngp_deposit(p_l, w, 32, box_size), AXIS)
+        k, pk = pm.pk_from_density(d64, box_size)
+        clus = jnp.std(d32) / (jnp.mean(d32) + 1e-10)
+
+        dim = v_l.shape[1]
+        v_sq = jnp.sum(v_l * v_l, axis=-1)
+        beta_sq = jnp.clip(v_sq / (c_sim * c_sim), 0.0, 0.9999)
+        gamma = 1.0 / jnp.sqrt(1.0 - beta_sq)
+        beta = jnp.sqrt(beta_sq)
+        v_mag = jnp.sqrt(v_sq)
+
+        to_p = p_l - obs_pos[None, :]
+        dist = jnp.linalg.norm(to_p, axis=1, keepdims=True)
+        dot = jnp.sum(to_p / (dist + 1e-10) * obs_dir[None, :], axis=1)
+        in_frustum = dot > fov_cos
+        pos_delta = jnp.sum(jnp.abs(p_l - pv_l), axis=1)
+        snapped = jnp.logical_and(in_frustum, pos_delta > snap_threshold)
+
+        cnt = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS), 1.0)
+        comp_sum = jax.lax.psum(jnp.sum(v_l * w[:, None]), AXIS)
+        comp_sq = jax.lax.psum(jnp.sum((v_l * v_l) * w[:, None]), AXIS)
+        mu = comp_sum / (cnt * dim)
+        var = jnp.maximum(comp_sq / (cnt * dim) - mu * mu, 0.0)
+        dm = glitch_lib.ExploitDeviceMetrics(
+            max_gamma=jax.lax.pmax(
+                jnp.max(jnp.where(valid, gamma, 1.0)), AXIS),
+            near_c_09=jax.lax.psum(
+                jnp.sum((beta > 0.9) & valid), AXIS).astype(jnp.int32),
+            near_c_099=jax.lax.psum(
+                jnp.sum((beta > 0.99) & valid), AXIS).astype(jnp.int32),
+            v_mean=jax.lax.psum(jnp.sum(v_mag * w), AXIS) / cnt,
+            v_std=jnp.sqrt(var),
+            in_frustum=jax.lax.psum(
+                jnp.sum(in_frustum & valid), AXIS).astype(jnp.int32),
+            snap_events=jax.lax.psum(
+                jnp.sum(snapped & valid), AXIS).astype(jnp.int32),
+        )
+        return ProbeBundle(k, pk, clus, dm)
+
+    ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=ProbeBundle(P(), P(), P(),
+                              glitch_lib.ExploitDeviceMetrics(
+                                  *([P()] * 7))),
+        check_vma=False,
+    )
+    return fn(positions, velocities, prev_positions, ids, obs_pos, obs_dir)
 
 
 class PendingChunk(NamedTuple):
@@ -361,17 +445,40 @@ class CosmologicalEngine:
             self._sync_shadows()
         return self._tick_host
 
+    # The resident-sharded mesh loop keeps state padded to a shard
+    # multiple; these views always expose exactly the real rows (a no-op
+    # when the state is unpadded — the usual case). A padded SHARDED
+    # array cannot be sliced to a non-divisible length, so it is
+    # replicated first (explicit gather: these are export/diagnostic
+    # views, not the step loop).
+
+    def _trim_rows(self, x):
+        n = self.num_particles
+        if x.shape[0] == n:
+            return x
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            x = jax.device_put(
+                x, jax.sharding.NamedSharding(
+                    sh.mesh, jax.sharding.PartitionSpec()))
+        return x[:n]
+
     @property
     def positions(self):
-        return self.state.positions
+        return self._trim_rows(self.state.positions)
 
     @property
     def velocities(self):
-        return self.state.velocities
+        return self._trim_rows(self.state.velocities)
 
     @property
     def masses(self):
-        return self.state.masses
+        return self._trim_rows(self.state.masses)
+
+    def _trimmed_state(self) -> CosmoState:
+        """State with padding removed (checkpoint/export form)."""
+        return CosmoState(self.positions, self.velocities, self.masses,
+                          self._state.redshift, self._state.tick)
 
     # -- schedule -----------------------------------------------------------
 
@@ -426,18 +533,43 @@ class CosmologicalEngine:
             runner = (pm_sharded.run_pm_steps_sharded_fft
                       if self.cfg.n_grid >= 256
                       else pm_sharded.run_pm_steps_sharded)
-            self._state, stream = runner(
-                self._state, schedule, self.quantizer, self.cfg, self.mesh,
-                quantize_forces=self.quantizer.is_int)
+            # Resident-sharded loop: gather=False keeps the state padded
+            # + sharded between chunks — no per-chunk all-gather of the
+            # particle set over ICI (the runner's pad/reshard become
+            # no-ops once the state is already padded and sharded). The
+            # mesh context is required once inputs arrive sharded
+            # (explicit-sharding reshard resolves axis names against it).
+            # Fresh/restored states may live on a single device — put
+            # them on the mesh once (replicated; the runner shards).
+            mesh_devs = set(self.mesh.devices.flat)
+            if set(self._state.positions.devices()) != mesh_devs:
+                repl = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec())
+                self._state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), self._state)
+            with jax.set_mesh(self.mesh):
+                self._state, stream = runner(
+                    self._state, schedule, self.quantizer, self.cfg,
+                    self.mesh, quantize_forces=self.quantizer.is_int,
+                    n_valid=self.num_particles, gather=False)
         else:
             self._state, stream = run_pm_steps(self._state, schedule,
                                                self.quantizer, self.cfg)
 
         eng = self.exploit_engine
         prev, obs_pos, obs_dir = eng.probe_inputs(self._state.positions)
-        probes = probe_bundle(self._state.positions, self._state.velocities,
-                              prev, obs_pos, obs_dir, self.cfg.box_size,
-                              eng.c_sim, eng.fov_cos)
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                probes = probe_bundle_sharded(
+                    self._state.positions, self._state.velocities,
+                    prev, obs_pos, obs_dir, self.cfg.box_size,
+                    eng.c_sim, eng.fov_cos,
+                    n_valid=self.num_particles, mesh=self.mesh)
+        else:
+            probes = probe_bundle(
+                self._state.positions, self._state.velocities,
+                prev, obs_pos, obs_dir, self.cfg.box_size,
+                eng.c_sim, eng.fov_cos)
         # Observer rotates once per chunk, after the probe that used it
         # (reference cadence: universe_2d.py:877).
         eng.rotate_observer(5.0)
@@ -447,11 +579,21 @@ class CosmologicalEngine:
         self._z_host = z_end
         self._tick_host = self._tick_host + num_steps
 
+        snap_pos, snap_vel = self._state.positions, self._state.velocities
+        if self.mesh is not None:
+            # Replicate the diagnostic snapshot on-device (one fast ICI
+            # all-gather) — fetching a sharded array to host goes through
+            # a much slower per-shard assembly path on this platform.
+            # The STATE stays resident-sharded; only the snapshot copies
+            # replicate.
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            snap_pos = jax.device_put(snap_pos, repl)
+            snap_vel = jax.device_put(snap_vel, repl)
         pending = PendingChunk(
             num_steps=num_steps, tick_start=self._tick_host - num_steps,
             z_end=z_end, stream=stream, probes=probes,
-            positions=self._state.positions,
-            velocities=self._state.velocities)
+            positions=snap_pos, velocities=snap_vel)
         for leaf in jax.tree_util.tree_leaves(
                 (pending.stream, pending.probes, pending.positions,
                  pending.velocities)):
@@ -479,6 +621,11 @@ class CosmologicalEngine:
         stream, probes, pos_h, vel_h = jax.device_get(
             (pending.stream, pending.probes,
              pending.positions, pending.velocities))
+        # Resident-sharded state is padded to a shard multiple; the host
+        # consumers (entropy probe, Landauer bits, streaming frames) see
+        # only the real rows.
+        pos_h = pos_h[:self.num_particles]
+        vel_h = vel_h[:self.num_particles]
         num_steps = pending.num_steps
         tick_end = pending.tick_start + num_steps
         z_end = pending.z_end
@@ -596,16 +743,16 @@ class CosmologicalEngine:
     # -- diagnostics --------------------------------------------------------
 
     def get_kinetic_energy(self) -> float:
-        v_sq = jnp.sum(self.state.velocities ** 2, axis=-1)
-        return float(0.5 * jnp.sum(self.state.masses * v_sq))
+        v_sq = jnp.sum(self.velocities ** 2, axis=-1)
+        return float(0.5 * jnp.sum(self.masses * v_sq))
 
     def get_total_momentum(self):
-        mom = jnp.sum(self.state.masses[:, None] * self.state.velocities,
+        mom = jnp.sum(self.masses[:, None] * self.velocities,
                       axis=0)
         return tuple(float(x) for x in np.asarray(mom))
 
     def compute_power_spectrum(self, n_grid: int = 64, num_bins: int = 20):
-        k, pk = pm.power_spectrum(self.state.positions, self.cfg.box_size,
+        k, pk = pm.power_spectrum(self.positions, self.cfg.box_size,
                                   n_grid, num_bins)
         return np.asarray(k), np.asarray(pk)
 
@@ -614,14 +761,16 @@ class CosmologicalEngine:
         return pm.bao_scale_from_pk(k, pk)
 
     def get_clustering(self) -> float:
-        return float(pm.clustering_metric(self.state.positions,
+        return float(pm.clustering_metric(self.positions,
                                           self.cfg.box_size))
 
     # -- checkpointing --------------------------------------------------
 
     def save_checkpoint(self, manager) -> int:
-        """Write the CosmoState at the current tick (utils.checkpoint)."""
-        manager.save(self.tick, self.state, {
+        """Write the CosmoState at the current tick (utils.checkpoint).
+        Resident-sharded padding is stripped so checkpoints are
+        mesh-shape-independent."""
+        manager.save(self.tick, self._trimmed_state(), {
             "precision": self.precision_str,
             "redshift": self.redshift,
             "num_particles": self.num_particles,
@@ -633,7 +782,7 @@ class CosmologicalEngine:
         step = manager.latest_step()
         if step is None:
             return None
-        self.state = manager.restore(step, self.state)
+        self.state = manager.restore(step, self._trimmed_state())
         self.completed = self.redshift <= self.cfg.min_redshift
         # re-sync derived run state with the restored redshift so the next
         # step does not log a bogus epoch transition; histories continue
@@ -648,9 +797,9 @@ class CosmologicalEngine:
     def get_state_dict(self) -> dict:
         """Exportable state (reference: universe_genesis.py:500-511)."""
         return {
-            "positions": np.asarray(self.state.positions),
-            "velocities": np.asarray(self.state.velocities),
-            "masses": np.asarray(self.state.masses),
+            "positions": np.asarray(self.positions),
+            "velocities": np.asarray(self.velocities),
+            "masses": np.asarray(self.masses),
             "redshift": self.redshift,
             "time_gyr": self.time_gyr,
             "tick": self.tick,

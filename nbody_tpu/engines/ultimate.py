@@ -69,7 +69,7 @@ class UltimateEngine(CosmologicalEngine):
         from nbody_tpu.ops.pm import ngp_deposit
 
         density = np.asarray(ngp_deposit(
-            self.state.positions,
+            self.positions,
             jnp.ones(self.num_particles, jnp.float32), n_grid,
             self.cfg.box_size))
         mean = density.mean()

@@ -230,18 +230,31 @@ def cic_gather_slab(grids_slab, positions, n_grid: int, box_size: float,
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size",
                                              "num_bins"))
 def power_spectrum(positions, box_size: float, n_grid: int = 64,
-                   num_bins: int = 20):
+                   num_bins: int = 20, weights=None):
     """Radially-binned density power spectrum P(k).
 
     Deposits unit weights (number density), FFTs the contrast, and bins
     |delta_k|^2 on a log-spaced k grid via segment_sum
     (reference: universe_2d.py:1221-1255 with the bin loop vectorised).
     Returns (k_centers (num_bins-1,), P(k) (num_bins-1,)).
+
+    ``weights`` optionally replaces the unit deposit weights — the
+    resident-sharded engine passes a 0/1 validity mask so phantom
+    padding rows deposit nothing.
     """
     dim = positions.shape[1]
-    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
-                                              jnp.float32),
-                          n_grid, box_size)
+    if weights is None:
+        weights = jnp.ones(positions.shape[0], jnp.float32)
+    density = ngp_deposit(positions, weights, n_grid, box_size)
+    return pk_from_density(density, box_size, num_bins)
+
+
+def pk_from_density(density, box_size: float, num_bins: int = 20):
+    """Spectral half of power_spectrum: contrast -> FFT -> radial bins.
+    Takes an already-deposited density grid (the resident-sharded probe
+    path deposits per shard and psums the grid before calling this)."""
+    n_grid = density.shape[0]
+    dim = density.ndim
     mean = jnp.mean(density)
     delta = (density - mean) / (mean + 1e-10)
     pk_grid = jnp.abs(jnp.fft.fftn(delta)) ** 2
@@ -286,12 +299,14 @@ def bao_scale_from_pk(k, pk, k_lo: float = 0.01, k_hi: float = 0.2):
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
-def clustering_metric(positions, box_size: float, n_grid: int = 32):
+def clustering_metric(positions, box_size: float, n_grid: int = 32,
+                      weights=None):
     """Density-contrast std/mean on a coarse grid
-    (reference: universe_2d.py:1283-1293)."""
-    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
-                                              jnp.float32),
-                          n_grid, box_size)
+    (reference: universe_2d.py:1283-1293). ``weights`` as in
+    power_spectrum (validity mask for padded resident-sharded state)."""
+    if weights is None:
+        weights = jnp.ones(positions.shape[0], jnp.float32)
+    density = ngp_deposit(positions, weights, n_grid, box_size)
     return jnp.std(density) / (jnp.mean(density) + 1e-10)
 
 

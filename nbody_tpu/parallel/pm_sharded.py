@@ -56,18 +56,26 @@ def _local_pm_accel(pos_l, mass_l, valid_l, q: Quantizer, cfg: PMConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
-                                             "quantize_forces"))
+                                             "quantize_forces", "n_valid",
+                                             "gather"))
 def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
                          cfg: PMConfig, mesh: Mesh,
-                         quantize_forces: bool = True):
+                         quantize_forces: bool = True,
+                         n_valid: int | None = None, gather: bool = True):
     """Sharded version of engines.cosmo.run_pm_steps: scan over the
     (z, dt, H, a) schedule with the particle-parallel PM force inside.
 
     Returns (state, StepStream) with the same per-step diagnostics the
     single-device runner streams (KE / momentum / subnormal census /
     redshift), so the engine's host-side glitch detectors consume either
-    path identically."""
-    n_total = state.positions.shape[0]
+    path identically.
+
+    ``gather=False`` returns the state PADDED to a shard multiple and
+    still sharded over the mesh (no per-chunk all-gather — the resident-
+    sharded engine loop); pass such a state back in with
+    ``n_valid=<real N>`` so phantom rows stay frozen. ``gather=True``
+    (default) trims+replicates as before."""
+    n_total = n_valid if n_valid is not None else state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
 
     pos = _pad_to_shards(state.positions, n_shards)
@@ -124,10 +132,15 @@ def run_pm_steps_sharded(state: CosmoState, schedule, q: Quantizer,
         return x[:n_total]
 
     num_steps = schedule[0].shape[0]
+    if gather:
+        pos_out, vel_out = _trim(pos_out), _trim(vel_out)
+        masses_out = state.masses
+    else:
+        masses_out = masses  # padded + sharded, ready for the next chunk
     new_state = CosmoState(
-        positions=_trim(pos_out),
-        velocities=_trim(vel_out),
-        masses=state.masses,
+        positions=pos_out,
+        velocities=vel_out,
+        masses=masses_out,
         redshift=jnp.asarray(schedule[0][-1], jnp.float32),
         tick=state.tick + num_steps,
     )
@@ -156,11 +169,14 @@ def _deposit_scattered(positions, masses, valid, cfg: PMConfig, mesh: Mesh):
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
                                              "quantize_forces",
-                                             "gather_mode"))
+                                             "gather_mode", "n_valid",
+                                             "gather"))
 def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
                              cfg: PMConfig, mesh: Mesh,
                              quantize_forces: bool = True,
-                             gather_mode: str = "auto"):
+                             gather_mode: str = "auto",
+                             n_valid: int | None = None,
+                             gather: bool = True):
     """Large-grid sharded PM: the WHOLE pipeline under the mesh.
 
     deposit (reduce-scatter to x-slabs) -> distributed FFT Poisson solve
@@ -186,9 +202,11 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
     * ``"auto"``: slab when the grid outweighs the particle rows.
 
     Same schedule/integration semantics as engines.cosmo.run_pm_steps
-    (reference: universe_2d.py:1196-1209).
+    (reference: universe_2d.py:1196-1209). ``n_valid``/``gather`` follow
+    run_pm_steps_sharded: gather=False keeps the returned state padded +
+    sharded for the resident-sharded engine loop.
     """
-    n_total = state.positions.shape[0]
+    n_total = n_valid if n_valid is not None else state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
 
     if gather_mode == "auto":
@@ -295,10 +313,15 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
         return jax.sharding.reshard(x, repl)[:n_total]
 
     num_steps = schedule[0].shape[0]
+    if gather:
+        pos_out, vel_out = _trim(pos_out), _trim(vel_out)
+        masses_out = state.masses
+    else:
+        masses_out = masses  # padded + sharded, ready for the next chunk
     new_state = CosmoState(
-        positions=_trim(pos_out),
-        velocities=_trim(vel_out),
-        masses=state.masses,
+        positions=pos_out,
+        velocities=vel_out,
+        masses=masses_out,
         redshift=jnp.asarray(schedule[0][-1], jnp.float32),
         tick=state.tick + num_steps,
     )

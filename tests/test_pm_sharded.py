@@ -247,3 +247,46 @@ def test_mesh_engine_pipelined_matches_sequential(mesh8):
         assert seq.history[key] == pipe.history[key], key
     assert ([g.glitch_type for g in seq.history["glitches"]]
             == [g.glitch_type for g in pipe.history["glitches"]])
+
+
+def test_mesh_engine_resident_sharded_loop(mesh8):
+    """The mesh engine keeps its state padded+sharded between chunks
+    (no per-chunk all-gather): internal state is a shard multiple while
+    the public views expose exactly the real rows, including with a
+    particle count not divisible by the mesh."""
+    e = cosmo.CosmologicalEngine(num_particles=900, start_redshift=6.0,
+                                 precision="int4", dim=2, n_grid=32,
+                                 seed=7, mesh=mesh8)
+    assert e.num_particles == 900  # 30^2, not divisible by 8
+    e.step(1.0, num_steps=2)
+    assert e._state.positions.shape[0] == 904  # padded internally
+    assert e.positions.shape == (900, 2)
+    assert np.isfinite(np.asarray(e.positions)).all()
+    assert np.isfinite(e.get_kinetic_energy())
+    assert np.isfinite(e.get_bao_scale())
+    e.step(1.0, num_steps=2)  # second chunk consumes the padded state
+    assert e._state.positions.shape[0] == 904
+    assert len(e.history["energy"]) == 4
+    sd = e.get_state_dict()
+    assert sd["positions"].shape == (900, 2)
+
+
+def test_mesh_engine_checkpoint_strips_padding(mesh8, tmp_path):
+    """Checkpoints from a resident-sharded run are mesh-shape-independent
+    (padding stripped on save; restore re-pads on the next dispatch)."""
+    from nbody_tpu.utils.checkpoint import CheckpointManager
+
+    kw = dict(num_particles=900, start_redshift=6.0, precision="float32",
+              dim=2, n_grid=32, seed=9)
+    e = cosmo.CosmologicalEngine(mesh=mesh8, **kw)
+    e.step(1.0, num_steps=2)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    e.save_checkpoint(mgr)
+
+    r = cosmo.CosmologicalEngine(mesh=mesh8, **kw)
+    step = r.restore_latest(mgr)
+    assert step == e.tick
+    np.testing.assert_array_equal(np.asarray(r.positions),
+                                  np.asarray(e.positions))
+    r.step(1.0, num_steps=1)  # resumed state re-enters the sharded loop
+    assert np.isfinite(np.asarray(r.positions)).all()
