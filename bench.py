@@ -119,7 +119,11 @@ def main():
                 num_particles=262144, start_redshift=80.0, precision="int4",
                 dim=3, n_grid=256, box_size_mpc=400.0, seed=1,
                 mesh=_ring.make_particle_mesh())
-            eng.step(dz=0.1, num_steps=10)  # compile + warmup
+            # Two warmup chunks: the resident-sharded loop's first call
+            # traces with replicated inputs, the second with the padded
+            # sharded state — both programs must compile before timing.
+            eng.step(dz=0.1, num_steps=10)
+            eng.step(dz=0.1, num_steps=10)
             np.asarray(eng.positions[:1])
             n_chunks = 4
             t0 = time.time()

@@ -71,25 +71,20 @@ class ExploitDeviceMetrics(NamedTuple):
     snap_events: jnp.ndarray      # frustum-entry jumps > threshold
 
 
-@jax.jit
-def exploit_device_metrics(positions, velocities, prev_positions,
-                           observer_pos, observer_dir,
-                           c_sim: float = C_SIM_MPC_GYR,
-                           fov_cos: float = 0.866,
-                           snap_threshold: float = 0.1,
-                           valid=None) -> ExploitDeviceMetrics:
-    """Device half of the exploit probes
-    (reference: universe_2d.py:517-786, fused).
-
-    ``valid`` optionally masks padded phantom rows out of every
-    statistic (resident-sharded engine state is padded to a shard
-    multiple; phantoms sit at the origin with zero velocity and would
-    otherwise pollute the frustum counts and velocity moments)."""
+def exploit_row_metrics(positions, velocities, prev_positions,
+                        observer_pos, observer_dir,
+                        c_sim: float = C_SIM_MPC_GYR,
+                        fov_cos: float = 0.866,
+                        snap_threshold: float = 0.1):
+    """Per-row arrays behind the exploit probes: (gamma, beta, v_mag,
+    in_frustum, snapped). Shared by the single-device reduction below
+    and the resident-sharded psum reduction
+    (engines/cosmo.probe_bundle_sharded) so the probe FORMULAS live in
+    exactly one place."""
     v_sq = jnp.sum(velocities * velocities, axis=-1)
     beta_sq = jnp.clip(v_sq / (c_sim * c_sim), 0.0, 0.9999)
     gamma = 1.0 / jnp.sqrt(1.0 - beta_sq)
     beta = jnp.sqrt(beta_sq)
-
     v_mag = jnp.sqrt(v_sq)
 
     to_p = positions - observer_pos[None, :]
@@ -99,36 +94,28 @@ def exploit_device_metrics(positions, velocities, prev_positions,
 
     pos_delta = jnp.sum(jnp.abs(positions - prev_positions), axis=1)
     snapped = jnp.logical_and(in_frustum, pos_delta > snap_threshold)
+    return gamma, beta, v_mag, in_frustum, snapped
 
-    if valid is None:
-        return ExploitDeviceMetrics(
-            max_gamma=jnp.max(gamma),
-            near_c_09=jnp.sum(beta > 0.9).astype(jnp.int32),
-            near_c_099=jnp.sum(beta > 0.99).astype(jnp.int32),
-            v_mean=jnp.mean(v_mag),
-            v_std=jnp.std(velocities),
-            in_frustum=jnp.sum(in_frustum).astype(jnp.int32),
-            snap_events=jnp.sum(snapped).astype(jnp.int32),
-        )
 
-    vb = valid.astype(bool)
-    vf = valid.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(vf), 1.0)
-    dim = velocities.shape[1]
-    # masked mean/std over all velocity components (matches
-    # jnp.mean/std over the trimmed array)
-    comp_sum = jnp.sum(velocities * vf[:, None])
-    comp_mu = comp_sum / (cnt * dim)
-    comp_var = jnp.sum(((velocities - comp_mu) ** 2) * vf[:, None]) / (
-        cnt * dim)
+@jax.jit
+def exploit_device_metrics(positions, velocities, prev_positions,
+                           observer_pos, observer_dir,
+                           c_sim: float = C_SIM_MPC_GYR,
+                           fov_cos: float = 0.866,
+                           snap_threshold: float = 0.1) -> ExploitDeviceMetrics:
+    """Device half of the exploit probes
+    (reference: universe_2d.py:517-786, fused)."""
+    gamma, beta, v_mag, in_frustum, snapped = exploit_row_metrics(
+        positions, velocities, prev_positions, observer_pos, observer_dir,
+        c_sim, fov_cos, snap_threshold)
     return ExploitDeviceMetrics(
-        max_gamma=jnp.max(jnp.where(vb, gamma, 1.0)),
-        near_c_09=jnp.sum((beta > 0.9) & vb).astype(jnp.int32),
-        near_c_099=jnp.sum((beta > 0.99) & vb).astype(jnp.int32),
-        v_mean=jnp.sum(v_mag * vf) / cnt,
-        v_std=jnp.sqrt(comp_var),
-        in_frustum=jnp.sum(in_frustum & vb).astype(jnp.int32),
-        snap_events=jnp.sum(snapped & vb).astype(jnp.int32),
+        max_gamma=jnp.max(gamma),
+        near_c_09=jnp.sum(beta > 0.9).astype(jnp.int32),
+        near_c_099=jnp.sum(beta > 0.99).astype(jnp.int32),
+        v_mean=jnp.mean(v_mag),
+        v_std=jnp.std(velocities),
+        in_frustum=jnp.sum(in_frustum).astype(jnp.int32),
+        snap_events=jnp.sum(snapped).astype(jnp.int32),
     )
 
 

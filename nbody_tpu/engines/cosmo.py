@@ -89,29 +89,18 @@ class ProbeBundle(NamedTuple):
     exploit: glitch_lib.ExploitDeviceMetrics
 
 
-@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos",
-                                             "n_valid"))
+@functools.partial(jax.jit, static_argnames=("box_size", "c_sim", "fov_cos"))
 def probe_bundle(positions, velocities, prev_positions, obs_pos, obs_dir,
-                 box_size: float, c_sim: float, fov_cos: float,
-                 n_valid: int | None = None) -> ProbeBundle:
+                 box_size: float, c_sim: float, fov_cos: float) -> ProbeBundle:
     """Fuse the power spectrum, clustering metric, and exploit device
     metrics into a single dispatch so the pipelined engine pays one launch
-    + one async fetch per chunk.
-
-    ``n_valid`` (static) masks padded resident-sharded phantom rows out
-    of every statistic via 0/1 weights — masking (not slicing) keeps the
-    inputs sharded with no gather, and a sharded dim cannot be sliced to
-    a non-divisible length anyway."""
-    if n_valid is not None and n_valid != positions.shape[0]:
-        valid = (jnp.arange(positions.shape[0]) < n_valid)
-        weights = valid.astype(jnp.float32)
-    else:
-        valid = weights = None
-    k, pk = pm.power_spectrum(positions, box_size, weights=weights)
-    clus = pm.clustering_metric(positions, box_size, weights=weights)
+    + one async fetch per chunk. (Padded resident-sharded state goes
+    through probe_bundle_sharded instead.)"""
+    k, pk = pm.power_spectrum(positions, box_size)
+    clus = pm.clustering_metric(positions, box_size)
     dm = glitch_lib.exploit_device_metrics(positions, velocities,
                                            prev_positions, obs_pos, obs_dir,
-                                           c_sim, fov_cos, valid=valid)
+                                           c_sim, fov_cos)
     return ProbeBundle(k, pk, clus, dm)
 
 
@@ -130,8 +119,6 @@ def probe_bundle_sharded(positions, velocities, prev_positions,
 
     from nbody_tpu.parallel.ring import AXIS
 
-    snap_threshold = 0.1
-
     def local(p_l, v_l, pv_l, ids_l, obs_pos, obs_dir):
         valid = ids_l < n_valid
         w = valid.astype(jnp.float32)
@@ -140,25 +127,21 @@ def probe_bundle_sharded(positions, velocities, prev_positions,
         k, pk = pm.pk_from_density(d64, box_size)
         clus = jnp.std(d32) / (jnp.mean(d32) + 1e-10)
 
+        # Per-row probe formulas shared with the single-device path
+        # (glitch.exploit_row_metrics); only the reductions differ here
+        # (masked partial sums + psum/pmax).
+        gamma, beta, v_mag, in_frustum, snapped = \
+            glitch_lib.exploit_row_metrics(p_l, v_l, pv_l, obs_pos,
+                                           obs_dir, c_sim, fov_cos)
+
         dim = v_l.shape[1]
-        v_sq = jnp.sum(v_l * v_l, axis=-1)
-        beta_sq = jnp.clip(v_sq / (c_sim * c_sim), 0.0, 0.9999)
-        gamma = 1.0 / jnp.sqrt(1.0 - beta_sq)
-        beta = jnp.sqrt(beta_sq)
-        v_mag = jnp.sqrt(v_sq)
-
-        to_p = p_l - obs_pos[None, :]
-        dist = jnp.linalg.norm(to_p, axis=1, keepdims=True)
-        dot = jnp.sum(to_p / (dist + 1e-10) * obs_dir[None, :], axis=1)
-        in_frustum = dot > fov_cos
-        pos_delta = jnp.sum(jnp.abs(p_l - pv_l), axis=1)
-        snapped = jnp.logical_and(in_frustum, pos_delta > snap_threshold)
-
         cnt = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS), 1.0)
+        # Stable two-pass variance (one-pass E[x^2]-mu^2 cancels
+        # catastrophically in f32 for drifted velocity fields).
         comp_sum = jax.lax.psum(jnp.sum(v_l * w[:, None]), AXIS)
-        comp_sq = jax.lax.psum(jnp.sum((v_l * v_l) * w[:, None]), AXIS)
         mu = comp_sum / (cnt * dim)
-        var = jnp.maximum(comp_sq / (cnt * dim) - mu * mu, 0.0)
+        var = jax.lax.psum(
+            jnp.sum(((v_l - mu) ** 2) * w[:, None]), AXIS) / (cnt * dim)
         dm = glitch_lib.ExploitDeviceMetrics(
             max_gamma=jax.lax.pmax(
                 jnp.max(jnp.where(valid, gamma, 1.0)), AXIS),
@@ -476,9 +459,21 @@ class CosmologicalEngine:
         return self._trim_rows(self.state.masses)
 
     def _trimmed_state(self) -> CosmoState:
-        """State with padding removed (checkpoint/export form)."""
-        return CosmoState(self.positions, self.velocities, self.masses,
-                          self._state.redshift, self._state.tick)
+        """State with padding removed (checkpoint/export form). One
+        batched device_put replicates all three particle arrays (three
+        property reads would issue three sequential gathers)."""
+        st = self._state
+        n = self.num_particles
+        if st.positions.shape[0] == n:
+            return st
+        sh = st.positions.sharding
+        arrays = (st.positions, st.velocities, st.masses)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            arrays = jax.device_put(
+                arrays, jax.sharding.NamedSharding(
+                    sh.mesh, jax.sharding.PartitionSpec()))
+        pos, vel, masses = (a[:n] for a in arrays)
+        return CosmoState(pos, vel, masses, st.redshift, st.tick)
 
     # -- schedule -----------------------------------------------------------
 
@@ -743,11 +738,13 @@ class CosmologicalEngine:
     # -- diagnostics --------------------------------------------------------
 
     def get_kinetic_energy(self) -> float:
-        v_sq = jnp.sum(self.velocities ** 2, axis=-1)
-        return float(0.5 * jnp.sum(self.masses * v_sq))
+        # Raw (possibly padded) state is safe here: phantom rows carry
+        # zero mass, so mass-weighted sums need no trim/gather.
+        v_sq = jnp.sum(self.state.velocities ** 2, axis=-1)
+        return float(0.5 * jnp.sum(self.state.masses * v_sq))
 
     def get_total_momentum(self):
-        mom = jnp.sum(self.masses[:, None] * self.velocities,
+        mom = jnp.sum(self.state.masses[:, None] * self.state.velocities,
                       axis=0)
         return tuple(float(x) for x in np.asarray(mom))
 
@@ -796,10 +793,11 @@ class CosmologicalEngine:
 
     def get_state_dict(self) -> dict:
         """Exportable state (reference: universe_genesis.py:500-511)."""
+        st = self._trimmed_state()
         return {
-            "positions": np.asarray(self.positions),
-            "velocities": np.asarray(self.velocities),
-            "masses": np.asarray(self.masses),
+            "positions": np.asarray(st.positions),
+            "velocities": np.asarray(st.velocities),
+            "masses": np.asarray(st.masses),
             "redshift": self.redshift,
             "time_gyr": self.time_gyr,
             "tick": self.tick,

@@ -193,7 +193,7 @@ def compute_2point_correlation(positions, box_size: float,
 def compare_to_sdss(engine: UltimateEngine) -> dict:
     """(reference: :1259-1317)"""
     print("\n--- PHASE: SDSS 2-POINT CORRELATION ---")
-    r, xi = compute_2point_correlation(engine.state.positions,
+    r, xi = compute_2point_correlation(engine.positions,
                                        engine.cfg.box_size)
     ref = np.asarray([SDSS_XI_R[int(rr)] for rr in r])
     valid = (xi > 0) & (ref > 0)

@@ -230,22 +230,17 @@ def cic_gather_slab(grids_slab, positions, n_grid: int, box_size: float,
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size",
                                              "num_bins"))
 def power_spectrum(positions, box_size: float, n_grid: int = 64,
-                   num_bins: int = 20, weights=None):
+                   num_bins: int = 20):
     """Radially-binned density power spectrum P(k).
 
     Deposits unit weights (number density), FFTs the contrast, and bins
     |delta_k|^2 on a log-spaced k grid via segment_sum
     (reference: universe_2d.py:1221-1255 with the bin loop vectorised).
     Returns (k_centers (num_bins-1,), P(k) (num_bins-1,)).
-
-    ``weights`` optionally replaces the unit deposit weights — the
-    resident-sharded engine passes a 0/1 validity mask so phantom
-    padding rows deposit nothing.
     """
-    dim = positions.shape[1]
-    if weights is None:
-        weights = jnp.ones(positions.shape[0], jnp.float32)
-    density = ngp_deposit(positions, weights, n_grid, box_size)
+    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
+                                              jnp.float32),
+                          n_grid, box_size)
     return pk_from_density(density, box_size, num_bins)
 
 
@@ -299,14 +294,12 @@ def bao_scale_from_pk(k, pk, k_lo: float = 0.01, k_hi: float = 0.2):
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "box_size"))
-def clustering_metric(positions, box_size: float, n_grid: int = 32,
-                      weights=None):
+def clustering_metric(positions, box_size: float, n_grid: int = 32):
     """Density-contrast std/mean on a coarse grid
-    (reference: universe_2d.py:1283-1293). ``weights`` as in
-    power_spectrum (validity mask for padded resident-sharded state)."""
-    if weights is None:
-        weights = jnp.ones(positions.shape[0], jnp.float32)
-    density = ngp_deposit(positions, weights, n_grid, box_size)
+    (reference: universe_2d.py:1283-1293)."""
+    density = ngp_deposit(positions, jnp.ones(positions.shape[0],
+                                              jnp.float32),
+                          n_grid, box_size)
     return jnp.std(density) / (jnp.mean(density) + 1e-10)
 
 

@@ -229,7 +229,9 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
     masses = jax.sharding.reshard(masses, shard)
     valid = jax.sharding.reshard(valid, shard)
 
-    gather = pm.cic_gather if cfg.deposit == "cic" else pm.ngp_gather
+    # NB: named gather_fn, NOT `gather` — that would shadow the
+    # gather/keep-sharded flag and silently defeat the resident loop.
+    gather_fn = pm.cic_gather if cfg.deposit == "cic" else pm.ngp_gather
 
     def force(p, scale):
         density = _deposit_scattered(p, masses, valid, cfg, mesh)
@@ -277,8 +279,8 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
             # no unambiguous explicit out-sharding).
             grids = [jax.sharding.reshard(g, repl) for g in grids]
             acc = shard_map(
-                lambda p_l, *gs: gather(list(gs), p_l, cfg.n_grid,
-                                        cfg.box_size),
+                lambda p_l, *gs: gather_fn(list(gs), p_l, cfg.n_grid,
+                                           cfg.box_size),
                 mesh=mesh,
                 in_specs=(P(AXIS),) + (P(),) * cfg.dim,
                 out_specs=P(AXIS),

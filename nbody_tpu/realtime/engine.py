@@ -120,44 +120,6 @@ class SharedState:
             return self.positions
 
 
-class SnapshotStream:
-    """Double-buffered async device->host snapshot pipe.
-
-    ``push(device_arrays, meta)`` starts a NON-blocking host copy of the
-    current device state (``copy_to_host_async``) and returns the
-    previous snapshot — whose transfer has been in flight since the last
-    push, so materialising it is (nearly) free. The producer therefore
-    publishes one frame behind while the bulk position/velocity transfer
-    (MBs through the PJRT tunnel at production N) overlaps with the next
-    step's device dispatch, instead of serialising fetch -> compute ->
-    fetch as the reference's ``.cpu()``-per-10-ticks loop does
-    (reference: realtime_reality_engine.py:138, :253-345)."""
-
-    def __init__(self):
-        self._pending = None
-
-    def push(self, device_arrays: tuple, meta: dict):
-        for a in device_arrays:
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass  # plain numpy (CPU test path)
-        prev = self._pending
-        self._pending = (device_arrays, meta)
-        if prev is None:
-            return None, None
-        arrays, pmeta = prev
-        return tuple(np.asarray(a) for a in arrays), pmeta
-
-    def flush(self):
-        """Materialise the in-flight snapshot (end of run)."""
-        if self._pending is None:
-            return None, None
-        arrays, meta = self._pending
-        self._pending = None
-        return tuple(np.asarray(a) for a in arrays), meta
-
-
 class CosmicWebEngine:
     """Physics producer (reference: realtime_reality_engine.py:187-345).
 

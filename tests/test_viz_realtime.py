@@ -119,27 +119,6 @@ def test_dashboard3d_render(tmp_path):
     assert path.stat().st_size > 10_000
 
 
-def test_snapshot_stream_double_buffer():
-    """The async snapshot pipe publishes exactly one frame behind and
-    flushes the in-flight frame at shutdown."""
-    import jax.numpy as jnp
-    from nbody_tpu.realtime.engine import SnapshotStream
-
-    s = SnapshotStream()
-    a0, m0 = s.push((jnp.zeros(4) + 10.0,), {"tick": 0})
-    assert a0 is None and m0 is None
-    a1, m1 = s.push((jnp.zeros(4) + 11.0,), {"tick": 1})
-    assert m1["tick"] == 0
-    np.testing.assert_array_equal(a1[0], np.full(4, 10.0))
-    a2, m2 = s.push((jnp.zeros(4) + 12.0,), {"tick": 2})
-    assert m2["tick"] == 1
-    np.testing.assert_array_equal(a2[0], np.full(4, 11.0))
-    af, mf = s.flush()
-    assert mf["tick"] == 2
-    np.testing.assert_array_equal(af[0], np.full(4, 12.0))
-    assert s.flush() == (None, None)
-
-
 def test_realtime_pump_publishes_lagged_snapshot():
     """End-to-end: after two pumps the SharedState holds the first
     pump's state; drain() publishes the last."""
