@@ -183,6 +183,17 @@ class PendingChunk(NamedTuple):
     velocities: jnp.ndarray
 
 
+def _spec_sharded(x) -> bool:
+    """True if the array carries a NamedSharding with a non-trivial
+    PartitionSpec. The spec (not ``is_fully_replicated``) is what
+    matters: on a mesh of ONE device a P('shards') array is trivially
+    'fully replicated', but its explicit-sharding type still names the
+    mesh axis and breaks jitted consumers outside the mesh context."""
+    sh = getattr(x, "sharding", None)
+    return (isinstance(sh, jax.sharding.NamedSharding)
+            and any(p is not None for p in tuple(sh.spec)))
+
+
 # --------------------------------------------------------------------------
 # Initial conditions: gridded particles + P(k)-with-BAO Zel'dovich offsets
 # --------------------------------------------------------------------------
@@ -436,15 +447,15 @@ class CosmologicalEngine:
     # views, not the step loop).
 
     def _trim_rows(self, x):
+        # Replicate whenever the array is mesh-sharded — even when N
+        # divides the mesh (no padding), a 'shards'-spec'd array must
+        # not leak into jitted consumers outside the mesh context.
         n = self.num_particles
-        if x.shape[0] == n:
-            return x
-        sh = getattr(x, "sharding", None)
-        if isinstance(sh, jax.sharding.NamedSharding):
+        if _spec_sharded(x):
             x = jax.device_put(
                 x, jax.sharding.NamedSharding(
-                    sh.mesh, jax.sharding.PartitionSpec()))
-        return x[:n]
+                    x.sharding.mesh, jax.sharding.PartitionSpec()))
+        return x if x.shape[0] == n else x[:n]
 
     @property
     def positions(self):
@@ -464,15 +475,17 @@ class CosmologicalEngine:
         property reads would issue three sequential gathers)."""
         st = self._state
         n = self.num_particles
-        if st.positions.shape[0] == n:
+        sharded = _spec_sharded(st.positions)
+        if st.positions.shape[0] == n and not sharded:
             return st
-        sh = st.positions.sharding
         arrays = (st.positions, st.velocities, st.masses)
-        if isinstance(sh, jax.sharding.NamedSharding):
+        if sharded:
             arrays = jax.device_put(
                 arrays, jax.sharding.NamedSharding(
-                    sh.mesh, jax.sharding.PartitionSpec()))
-        pos, vel, masses = (a[:n] for a in arrays)
+                    st.positions.sharding.mesh,
+                    jax.sharding.PartitionSpec()))
+        pos, vel, masses = (a if a.shape[0] == n else a[:n]
+                            for a in arrays)
         return CosmoState(pos, vel, masses, st.redshift, st.tick)
 
     # -- schedule -----------------------------------------------------------

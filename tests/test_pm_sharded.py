@@ -290,3 +290,23 @@ def test_mesh_engine_checkpoint_strips_padding(mesh8, tmp_path):
                                   np.asarray(e.positions))
     r.step(1.0, num_steps=1)  # resumed state re-enters the sharded loop
     assert np.isfinite(np.asarray(r.positions)).all()
+
+
+def test_mesh_engine_divisible_n_diagnostics(mesh8):
+    """With N divisible by the mesh there is no padding, but the state is
+    still sharded — diagnostic/export consumers (power spectrum, BAO,
+    state dict, checkpoint form) must not leak a 'shards'-spec'd array
+    into jits outside the mesh context (caught live: universe2d --mesh
+    crashed in render_frame's compute_power_spectrum)."""
+    e = cosmo.CosmologicalEngine(num_particles=1024, start_redshift=6.0,
+                                 precision="int4", dim=2, n_grid=32,
+                                 seed=13, mesh=mesh8)
+    e.step(1.0, num_steps=2)
+    k, pk = e.compute_power_spectrum()
+    assert np.isfinite(pk).all()
+    assert np.isfinite(e.get_bao_scale())
+    assert np.isfinite(e.get_clustering())
+    sd = e.get_state_dict()
+    assert sd["positions"].shape == (1024, 2)
+    st = e._trimmed_state()
+    assert st.positions.sharding.is_fully_replicated
