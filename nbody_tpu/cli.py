@@ -70,6 +70,15 @@ Precision modes:
     p.add_argument("--force-impl", type=str, default="auto",
                    choices=["auto", "dense", "tiled", "pallas"],
                    help="force kernel implementation")
+    p.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
+                   metavar="N",
+                   help=("run sharded over an N-device mesh (bare --mesh "
+                         "= all local devices): particles ring-sharded, "
+                         "forces via the half-ring Newton's-third-law "
+                         "schedule, energies psum'd under the mesh"))
+    p.add_argument("--schedule", type=str, default="sym",
+                   choices=["sym", "rows"],
+                   help="ring force schedule for --mesh runs")
     return p
 
 
@@ -103,10 +112,20 @@ def run_compare(args) -> dict:
     cfg = SimConfig(G=args.G, dt=args.dt)
     histories, final_positions = {}, {}
 
+    mesh = None
+    schedule = getattr(args, "schedule", "sym")
+    if getattr(args, "mesh", None) is not None:
+        from nbody_tpu.parallel import ring
+        n_dev = args.mesh if args.mesh > 0 else None
+        mesh = ring.make_particle_mesh(n_dev)
+        print(f"\nMesh: {mesh.shape[ring.AXIS]} device(s), "
+              f"schedule={schedule} (particle-ring sharding)")
+
     for mode in modes:
         print(f"\n{'=' * 50}\nRunning simulation: {mode.value}\n{'=' * 50}")
         sim = DirectSimulation(positions, velocities, masses, precision=mode,
-                               cfg=cfg, force_impl=args.force_impl)
+                               cfg=cfg, force_impl=args.force_impl,
+                               mesh=mesh, schedule=schedule)
         snap0 = metrics_lib.snapshot(sim.positions, sim.velocities,
                                      sim.masses, sim.state.tick, cfg)
         t0 = time.time()

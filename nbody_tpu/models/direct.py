@@ -205,7 +205,9 @@ class DirectSimulation:
                  force_impl: str = "auto",
                  quantize_forces: Optional[bool] = None,
                  custom_levels: int = 64,
-                 dynamic_params: bool = False):
+                 dynamic_params: bool = False,
+                 mesh=None,
+                 schedule: str = "sym"):
         if isinstance(precision, str):
             precision = Quantizer.from_string(precision, custom_levels)
         elif isinstance(precision, Precision):
@@ -242,20 +244,36 @@ class DirectSimulation:
         self.quantize_forces = quantize_forces
         self.is_baseline = self.quantizer.mode == Precision.FLOAT64
 
+        # Multi-chip mode: particles sharded over a 1-D mesh, forces via
+        # the ppermute half-ring (parallel/ring.py). The state stays
+        # resident on the mesh (padded to the shard boundary) between
+        # calls; every user surface below trims/gathers transparently.
+        self.mesh = mesh
+        self.schedule = schedule
+        self._n_total = int(jnp.shape(positions)[0])
+        if mesh is not None and dynamic_params:
+            raise ValueError("dynamic_params is not supported with mesh= "
+                             "(the ring runners compile static dt/softening)")
+
         if self.is_baseline:
             self.state = make_baseline_state(positions, velocities, masses)
-            acc = forces.baseline_accelerations_dd(
-                self.state.positions.hi, self.state.masses, cfg)
-            self.state = self.state._replace(accelerations=acc)
+            if mesh is None:
+                acc = forces.baseline_accelerations_dd(
+                    self.state.positions.hi, self.state.masses, cfg)
+                self.state = self.state._replace(accelerations=acc)
+            # mesh mode: the sharded runners recompute the acceleration
+            # from positions at entry (a pure function of state), so the
+            # stored zeros never reach the integrator.
         else:
             self.state = make_state(positions, velocities, masses)
-            force = _force_fn(force_impl, self.state.num_particles,
-                              self.state.positions.shape[1])
-            acc = force(self.state.positions, self.state.masses,
-                        self.quantizer, cfg,
-                        quantize_forces=self.quantize_forces,
-                        softening_sq=self._dyn_soft_sq)
-            self.state = self.state._replace(accelerations=acc)
+            if mesh is None:
+                force = _force_fn(force_impl, self.state.num_particles,
+                                  self.state.positions.shape[1])
+                acc = force(self.state.positions, self.state.masses,
+                            self.quantizer, cfg,
+                            quantize_forces=self.quantize_forces,
+                            softening_sq=self._dyn_soft_sq)
+                self.state = self.state._replace(accelerations=acc)
 
     # -- stepping -----------------------------------------------------------
 
@@ -263,22 +281,46 @@ class DirectSimulation:
     def tick(self) -> int:
         return int(self.state.tick)
 
+    def _trim(self, x):
+        """Strip mesh-mode phantom padding (no-op single-device).
+
+        Replicate before the tail slice: slicing a shard-misaligned
+        boundary on an explicitly sharded array is ill-sharded (same
+        discipline as parallel/ring.py's gather path)."""
+        if self.mesh is not None and x.shape[0] != self._n_total:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.sharding.reshard(x, NamedSharding(self.mesh, P()))
+            return x[:self._n_total]
+        return x
+
     @property
     def positions(self):
-        return (self.state.positions.to_f32() if self.is_baseline
-                else self.state.positions)
+        return self._trim(self.state.positions.to_f32() if self.is_baseline
+                          else self.state.positions)
 
     @property
     def velocities(self):
-        return (self.state.velocities.to_f32() if self.is_baseline
-                else self.state.velocities)
+        return self._trim(self.state.velocities.to_f32() if self.is_baseline
+                          else self.state.velocities)
 
     @property
     def masses(self):
-        return self.state.masses
+        return self._trim(self.state.masses)
 
     def step(self, num_steps: int = 1):
-        if self.is_baseline:
+        if self.mesh is not None:
+            from nbody_tpu.parallel import ring
+            if self.is_baseline:
+                self.state = ring.run_steps_sharded_baseline(
+                    self.state, self.cfg, self.mesh, num_steps,
+                    gather=False, n_total=self._n_total)
+            else:
+                self.state, _ = ring.run_steps_sharded(
+                    self.state, self.quantizer, self.cfg, self.mesh,
+                    num_steps, quantize_forces=self.quantize_forces,
+                    gather=False, schedule=self.schedule,
+                    n_total=self._n_total)
+        elif self.is_baseline:
             self.state = run_steps_baseline(self.state, self.cfg, num_steps)
         else:
             self.state = run_steps(self.state, self.quantizer, self.cfg,
@@ -312,7 +354,20 @@ class DirectSimulation:
         callback interval is partial, simulation.py:154-158)."""
         num_chunks = max(num_ticks // snapshot_interval, 1)
         steps = snapshot_interval if num_ticks >= snapshot_interval else num_ticks
-        if self.is_baseline:
+        if self.mesh is not None:
+            from nbody_tpu.parallel import ring
+            if self.is_baseline:
+                self.state, snaps, frames = \
+                    ring.run_with_snapshots_sharded_baseline(
+                        self.state, self.cfg, self.mesh, steps, num_chunks,
+                        num_bins=num_bins, n_total=self._n_total)
+            else:
+                self.state, snaps, frames = ring.run_with_snapshots_sharded(
+                    self.state, self.quantizer, self.cfg, self.mesh, steps,
+                    num_chunks, quantize_forces=self.quantize_forces,
+                    num_bins=num_bins, schedule=self.schedule,
+                    n_total=self._n_total)
+        elif self.is_baseline:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)
         else:
@@ -331,11 +386,21 @@ class DirectSimulation:
         return float(metrics_lib.kinetic_energy(self.velocities, self.masses))
 
     def get_potential_energy(self) -> float:
+        if self.mesh is not None:
+            # O(N^2) pair sum stays sharded (ppermute energy ring);
+            # phantom padding rows carry zero mass and drop out.
+            from nbody_tpu.parallel import ring
+            return float(ring.ring_potential_energy(
+                self.state.positions.to_f32() if self.is_baseline
+                else self.state.positions,
+                self.state.masses, self.cfg, self.mesh))
         return float(metrics_lib.potential_energy(
             self.positions, self.masses, self.cfg,
             softening_sq=self._dyn_soft_sq))
 
     def get_total_energy(self) -> float:
+        if self.mesh is not None:
+            return self.get_kinetic_energy() + self.get_potential_energy()
         return float(metrics_lib.total_energy(
             self.positions, self.velocities, self.masses, self.cfg,
             softening_sq=self._dyn_soft_sq))

@@ -30,7 +30,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
-from nbody_tpu.models.state import ParticleState
+from nbody_tpu.diagnostics import metrics as metrics_lib
+from nbody_tpu.models.state import BaselineState, ParticleState
 from nbody_tpu.ops import doubledouble as dd
 from nbody_tpu.ops.precision import (
     Quantizer,
@@ -77,12 +78,8 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
     impl='jnp' is the broadcast reference; 'auto' picks pallas on TPU for
     shards >= 1024.
     """
-    if cfg.softening_sq <= 0.0:
-        # unsoftened self-pairs need the id mask (inf * 0 = NaN otherwise)
-        impl = "jnp"
-    if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu"
-                and xi.shape[0] >= 1024 else "jnp")
+    if impl == "auto" or cfg.softening_sq <= 0.0:
+        impl = _resolve_tile_impl(impl, xi.shape[0], cfg)
     if impl == "pallas":
         from nbody_tpu.ops.pallas_nbody import pallas_pair_force
 
@@ -271,6 +268,15 @@ def _resolve_tile_impl(tile_impl: str, shard_size: int,
                        cfg: SimConfig) -> str:
     if cfg.softening_sq <= 0.0:
         # unsoftened self-pairs need the id mask (inf * 0 = NaN otherwise)
+        if tile_impl == "pallas":
+            import warnings
+
+            warnings.warn(
+                "explicit tile_impl='pallas' downgraded to 'jnp': zero "
+                "softening needs the id-masked broadcast tile, which "
+                "builds (B, B, D) HBM intermediates — at production "
+                "shard sizes this will OOM; use softening > 0 for the "
+                "Pallas ring tile", stacklevel=3)
         return "jnp"
     if tile_impl == "auto":
         return ("pallas" if jax.default_backend() == "tpu"
@@ -406,6 +412,63 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
     return acc
 
 
+def _ring_accelerations_dd_local(pos_local, gm_local, ids_local, n_total,
+                                 cfg: SimConfig, row_block: int = 512):
+    """Ring force for the emulated-f64 baseline: compensated accumulation.
+
+    Multi-chip equivalent of ``forces.baseline_accelerations_dd``
+    (reference baseline semantics: simulation.py:104-118 under float64):
+    f32 pairwise terms, double-double accumulation — per ring step a
+    dd-summed partial over the visiting source block, dd-added into a
+    traveling DD accumulator, so the cross-shard sum carries the same
+    ~48-bit effective mantissa as the single-device baseline.
+
+    ``pos_local`` is the f32 rounding of the local dd positions. Returns
+    f32 accelerations for the local receiver block (phantom rows zeroed).
+    """
+    axis_size = jax.lax.psum(1, AXIS)
+    b, dim = pos_local.shape
+    rb = min(row_block, b)
+    pad = (-b) % rb
+    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
+    ids_i = jnp.pad(ids_local, (0, pad),
+                    constant_values=jnp.iinfo(jnp.int32).max)
+    row_blocks = (pos_i.reshape(-1, rb, dim), ids_i.reshape(-1, rb))
+
+    def ring_step(s, carry):
+        acc_hi, acc_lo, pos_j, gm_j, ids_j = carry
+
+        def tile(args):
+            p_i, ii = args
+            diff = pos_j[None, :, :] - p_i[:, None, :]  # (rb, B, D)
+            d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
+            inv_d = jax.lax.rsqrt(d2)
+            factor = gm_j[None, :] * (inv_d * inv_d * inv_d)
+            factor = jnp.where(ii[:, None] == ids_j[None, :], 0.0, factor)
+            contrib = factor[:, :, None] * diff  # (rb, B, D)
+            s_dd = dd.dd_sum_chunked(contrib, axis=1)  # DD (rb, D)
+            return s_dd.hi, s_dd.lo
+
+        if row_blocks[0].shape[0] == 1:
+            hi, lo = tile((row_blocks[0][0], row_blocks[1][0]))
+        else:
+            hi, lo = jax.lax.map(tile, row_blocks)
+        acc = dd.dd_add(dd.DD(acc_hi, acc_lo),
+                        dd.DD(hi.reshape(-1, dim), lo.reshape(-1, dim)))
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
+        gm_j = jax.lax.ppermute(gm_j, AXIS, perm)
+        ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
+        return acc.hi, acc.lo, pos_j, gm_j, ids_j
+
+    z = jnp.zeros((b + pad, dim), jnp.float32)
+    acc_hi, acc_lo, _, _, _ = jax.lax.fori_loop(
+        0, axis_size, ring_step, (z, z, pos_local, gm_local, ids_local))
+    acc = (acc_hi + acc_lo)[:b]
+    valid = (ids_local < n_total)[:, None]
+    return jnp.where(valid, acc, 0.0)
+
+
 def _pad_to_shards(x, n_shards, fill=0.0):
     n = x.shape[0]
     pad = (-n) % n_shards
@@ -418,13 +481,14 @@ def _pad_to_shards(x, n_shards, fill=0.0):
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
-                                    "gather", "schedule"))
+                                    "gather", "schedule", "n_total"))
 def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       mesh: Mesh, num_steps: int,
                       quantize_forces: bool = False,
                       steps_per_chunk: int = 0,
                       gather: bool = True,
-                      schedule: str = "sym"):
+                      schedule: str = "sym",
+                      n_total: int | None = None):
     """Sharded leapfrog run: scan over ticks with the ring force inside.
 
     Returns (final ParticleState, per-chunk EnergyStream of
@@ -436,8 +500,13 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     ``schedule='sym'`` (default) uses the half-ring Newton's-third-law
     schedule (~half the pair work of ``schedule='rows'``, the plain
     full-rotation ring kept for comparison/reproduction of round-1 runs).
+    ``n_total`` marks the real particle count when ``state`` is already
+    padded to the shard boundary (a resident gather=False state being
+    chained); rows past it are phantoms excluded from quantization bounds.
     """
-    n_total, dim = state.positions.shape
+    if n_total is None:
+        n_total = state.positions.shape[0]
+    dim = state.positions.shape[1]
     n_shards = mesh.shape[AXIS]
 
     pos = _pad_to_shards(state.positions, n_shards)
@@ -594,3 +663,261 @@ def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     acc = fn(pos, gmass, ids)
     acc = jax.sharding.reshard(acc, NamedSharding(mesh, P()))
     return acc[:n_total]
+
+
+# --------------------------------------------------------------------------
+# Sharded flagship workflow: baseline (emulated-f64) runs + full-metric
+# history runs (the reference's main.py precision-ladder compare,
+# reference: main.py:99-208, simulation.py:199-250, under the mesh)
+# --------------------------------------------------------------------------
+
+def _pad_baseline_to_shards(state: BaselineState, n_shards: int):
+    """Pad every leaf of a BaselineState to the shard boundary."""
+    ph = _pad_to_shards(state.positions.hi, n_shards)
+    pl = _pad_to_shards(state.positions.lo, n_shards)
+    vh = _pad_to_shards(state.velocities.hi, n_shards)
+    vl = _pad_to_shards(state.velocities.lo, n_shards)
+    m = _pad_to_shards(state.masses, n_shards)
+    return ph, pl, vh, vl, m
+
+
+def _dd_one_step(cfg: SimConfig, force):
+    """One KDK step in double-double state (models.direct.
+    leapfrog_step_baseline semantics) as a scan body over flat leaves."""
+    half_dt = jnp.float32(cfg.dt * 0.5)
+
+    def one_step(carry, _):
+        ph, pl, vh, vl, a = carry
+        v = dd.dd_add_f32(dd.DD(vh, vl), a * half_dt)
+        p = dd.dd_add(dd.DD(ph, pl), dd.dd_mul_f32(v, jnp.float32(cfg.dt)))
+        a = force(p.hi + p.lo)
+        v = dd.dd_add_f32(v, a * half_dt)
+        return (p.hi, p.lo, v.hi, v.lo, a), None
+
+    return one_step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "num_steps",
+                                             "gather", "n_total"))
+def run_steps_sharded_baseline(state: BaselineState, cfg: SimConfig,
+                               mesh: Mesh, num_steps: int,
+                               gather: bool = True,
+                               n_total: int | None = None) -> BaselineState:
+    """Sharded leapfrog run of the emulated-f64 baseline.
+
+    Double-double positions/velocities sharded over the ring; the force is
+    ``_ring_accelerations_dd_local`` (compensated cross-shard accumulation
+    matching ``forces.baseline_accelerations_dd``). ``gather=False`` keeps
+    the returned state padded + sharded for chaining.
+    """
+    if n_total is None:
+        n_total = state.positions.hi.shape[0]
+    n_shards = mesh.shape[AXIS]
+    ph, pl, vh, vl, m = _pad_baseline_to_shards(state, n_shards)
+    gmass = cfg.G * m
+    ids = jnp.arange(ph.shape[0], dtype=jnp.int32)
+    pspec = P(AXIS)
+
+    def device_fn(ph_l, pl_l, vh_l, vl_l, gm_l, ids_l):
+        def force(p_f32):
+            return _ring_accelerations_dd_local(p_f32, gm_l, ids_l,
+                                                n_total, cfg)
+
+        acc_l = force(ph_l + pl_l)
+        carry, _ = jax.lax.scan(_dd_one_step(cfg, force),
+                                (ph_l, pl_l, vh_l, vl_l, acc_l), None,
+                                length=num_steps)
+        return carry
+
+    fn = shard_map(device_fn, mesh=mesh, in_specs=(pspec,) * 6,
+                   out_specs=(pspec,) * 5, check_vma=False)
+    ph_o, pl_o, vh_o, vl_o, acc_o = fn(ph, pl, vh, vl, gmass, ids)
+
+    if gather:
+        def _trim(x):
+            x = jax.sharding.reshard(x, NamedSharding(mesh, P()))
+            return x[:n_total]
+    else:
+        def _trim(x):
+            return x
+
+    return BaselineState(
+        positions=dd.DD(_trim(ph_o), _trim(pl_o)),
+        velocities=dd.DD(_trim(vh_o), _trim(vl_o)),
+        masses=_trim(m),
+        accelerations=_trim(acc_o),
+        tick=state.tick + num_steps,
+    )
+
+
+def _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg: SimConfig,
+                     num_bins: int) -> metrics_lib.Snapshot:
+    """Full metrics Snapshot from replicated (gathered) trimmed state plus
+    mesh-native energies. The structure diagnostics are O(N log N) on the
+    gathered arrays — identical math to the single-device
+    ``diagnostics.metrics.snapshot`` — while the O(N^2) potential energy
+    comes from the sharded ring pass."""
+    curve = metrics_lib.rotation_curve(pg, vg, num_bins=num_bins)
+    return metrics_lib.Snapshot(
+        tick=tick,
+        kinetic=ke,
+        potential=pe,
+        total=ke + pe,
+        radius_90=metrics_lib.galaxy_radius(pg, 90.0),
+        bound_frac=metrics_lib.bound_fraction(pg, vg, m_full, cfg.G),
+        dispersion=metrics_lib.velocity_dispersion(vg),
+        curve_radii=curve.radii,
+        curve_velocities=curve.velocities,
+        curve_counts=curve.counts,
+    )
+
+
+_SNAP_REPLICATED = metrics_lib.Snapshot(*([P()] * 10))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("q", "cfg", "mesh", "quantize_forces",
+                                    "steps_per_chunk", "num_chunks",
+                                    "num_bins", "schedule", "n_total"))
+def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
+                               cfg: SimConfig, mesh: Mesh,
+                               steps_per_chunk: int, num_chunks: int,
+                               quantize_forces: bool = False,
+                               num_bins: int = 20,
+                               schedule: str = "sym",
+                               n_total: int | None = None):
+    """Sharded history run: the multi-chip ``models.direct.
+    run_with_snapshots`` (reference: simulation.py:145-196,229-242).
+
+    One jitted program: per chunk, ``steps_per_chunk`` ring-force leapfrog
+    ticks, then a full metrics Snapshot — KE from a compensated psum, PE
+    from the ppermute energy ring (the EnergyStream observables), structure
+    metrics from an all-gathered frame (2·N·D floats over ICI per chunk
+    boundary, negligible next to the N^2/S force work). Returns
+    ``(resident padded+sharded state, Snapshots stacked over chunks,
+    position frames (num_chunks, n_total, D))``.
+    """
+    if n_total is None:
+        n_total = state.positions.shape[0]
+    n_shards = mesh.shape[AXIS]
+    pos = _pad_to_shards(state.positions, n_shards)
+    vel = _pad_to_shards(state.velocities, n_shards)
+    masses = _pad_to_shards(state.masses, n_shards)
+    gmass = cfg.G * masses
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    pspec = P(AXIS)
+    half_dt = cfg.dt * 0.5
+
+    force_local = (_ring_accelerations_sym_local if schedule == "sym"
+                   else _ring_accelerations_local)
+
+    def device_fn(pos_l, vel_l, gm_l, m_l, ids_l, tick0):
+        def force(p):
+            return force_local(p, gm_l, ids_l, n_total, q, cfg,
+                               quantize_forces)
+
+        acc_l = force(pos_l)
+        m_full = jax.lax.all_gather(m_l, AXIS, tiled=True)[:n_total]
+
+        def one_step(carry, _):
+            p, v, a = carry
+            v = v + a * half_dt
+            p = p + v * cfg.dt
+            a = force(p)
+            v = v + a * half_dt
+            return (p, v, a), None
+
+        def chunk(carry, i):
+            carry, _ = jax.lax.scan(one_step, carry, None,
+                                    length=steps_per_chunk)
+            p, v, a = carry
+            pg = jax.lax.all_gather(p, AXIS, tiled=True)[:n_total]
+            vg = jax.lax.all_gather(v, AXIS, tiled=True)[:n_total]
+            ke = metrics_lib.kinetic_energy(vg, m_full)
+            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg)
+            tick = tick0 + (i + 1) * steps_per_chunk
+            snap = _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg,
+                                    num_bins)
+            return carry, (snap, pg)
+
+        carry, (snaps, frames) = jax.lax.scan(
+            chunk, (pos_l, vel_l, acc_l),
+            jnp.arange(num_chunks, dtype=jnp.int32))
+        p, v, a = carry
+        return p, v, a, snaps, frames
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, pspec, P()),
+        out_specs=(pspec, pspec, pspec, _SNAP_REPLICATED, P()),
+        check_vma=False,
+    )
+    pos_o, vel_o, acc_o, snaps, frames = fn(pos, vel, gmass, masses, ids,
+                                            state.tick)
+    new_state = ParticleState(
+        positions=pos_o, velocities=vel_o, masses=masses,
+        accelerations=acc_o,
+        tick=state.tick + steps_per_chunk * num_chunks)
+    return new_state, snaps, frames
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "steps_per_chunk",
+                                    "num_chunks", "num_bins", "n_total"))
+def run_with_snapshots_sharded_baseline(state: BaselineState, cfg: SimConfig,
+                                        mesh: Mesh, steps_per_chunk: int,
+                                        num_chunks: int, num_bins: int = 20,
+                                        n_total: int | None = None):
+    """Sharded history run of the emulated-f64 baseline (the ``float64``
+    arm of the precision-ladder compare, reference: simulation.py:199-250).
+    Same contract as ``run_with_snapshots_sharded``."""
+    if n_total is None:
+        n_total = state.positions.hi.shape[0]
+    n_shards = mesh.shape[AXIS]
+    ph, pl, vh, vl, m = _pad_baseline_to_shards(state, n_shards)
+    gmass = cfg.G * m
+    ids = jnp.arange(ph.shape[0], dtype=jnp.int32)
+    pspec = P(AXIS)
+
+    def device_fn(ph_l, pl_l, vh_l, vl_l, gm_l, m_l, ids_l, tick0):
+        def force(p_f32):
+            return _ring_accelerations_dd_local(p_f32, gm_l, ids_l,
+                                                n_total, cfg)
+
+        acc_l = force(ph_l + pl_l)
+        m_full = jax.lax.all_gather(m_l, AXIS, tiled=True)[:n_total]
+        one_step = _dd_one_step(cfg, force)
+
+        def chunk(carry, i):
+            carry, _ = jax.lax.scan(one_step, carry, None,
+                                    length=steps_per_chunk)
+            ph_c, pl_c, vh_c, vl_c, a = carry
+            p32, v32 = ph_c + pl_c, vh_c + vl_c
+            pg = jax.lax.all_gather(p32, AXIS, tiled=True)[:n_total]
+            vg = jax.lax.all_gather(v32, AXIS, tiled=True)[:n_total]
+            ke = metrics_lib.kinetic_energy(vg, m_full)
+            pe = _ring_pe_local(p32, m_l, ids_l, n_total, cfg)
+            tick = tick0 + (i + 1) * steps_per_chunk
+            snap = _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg,
+                                    num_bins)
+            return carry, (snap, pg)
+
+        carry, (snaps, frames) = jax.lax.scan(
+            chunk, (ph_l, pl_l, vh_l, vl_l, acc_l),
+            jnp.arange(num_chunks, dtype=jnp.int32))
+        ph_c, pl_c, vh_c, vl_c, a = carry
+        return ph_c, pl_c, vh_c, vl_c, a, snaps, frames
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(pspec,) * 7 + (P(),),
+        out_specs=(pspec,) * 5 + (_SNAP_REPLICATED, P()),
+        check_vma=False,
+    )
+    ph_o, pl_o, vh_o, vl_o, acc_o, snaps, frames = fn(
+        ph, pl, vh, vl, gmass, m, ids, state.tick)
+    new_state = BaselineState(
+        positions=dd.DD(ph_o, pl_o), velocities=dd.DD(vh_o, vl_o),
+        masses=m, accelerations=acc_o,
+        tick=state.tick + steps_per_chunk * num_chunks)
+    return new_state, snaps, frames

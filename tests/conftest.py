@@ -13,9 +13,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    # XLA:CPU hard-aborts the whole process (rendezvous.cc F-check) when a
+    # device thread arrives >40 s late at a collective. This box has ONE
+    # core timesharing 8 virtual device threads, so long per-chunk programs
+    # (PE ring + gathered metrics) can legitimately skew past that under
+    # load — raise the termination timeout; real stuck tests still die via
+    # the pytest/CI timeout.
+    _flags += (" --xla_cpu_collective_timeout_seconds=1200"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402  (import after env is set)
 
