@@ -209,11 +209,24 @@ def run_pm_steps_sharded_fft(state: CosmoState, schedule, q: Quantizer,
     n_total = n_valid if n_valid is not None else state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
 
+    if cfg.n_grid % n_shards:
+        # The whole slab machinery (deposit reduce-scatter, sharded FFT,
+        # slab-routed gather) needs n_grid divisible by the mesh. An
+        # explicit 'slab' request is an error; 'auto'/'replicate' degrade
+        # to the replicated-grid pipeline (identical physics, parity
+        # tested), so odd meshes keep working at any grid size.
+        if gather_mode == "slab":
+            raise ValueError(
+                f"slab gather needs n_grid divisible by the mesh "
+                f"(n_grid={cfg.n_grid}, shards={n_shards}); use "
+                f"gather_mode='auto' to fall back to the replicated grid")
+        return run_pm_steps_sharded(state, schedule, q, cfg, mesh,
+                                    quantize_forces=quantize_forces,
+                                    n_valid=n_valid, gather=gather)
+
     if gather_mode == "auto":
         gather_mode = ("slab" if cfg.n_grid ** cfg.dim > 2 * n_total
                        else "replicate")
-    if gather_mode == "slab" and cfg.n_grid % n_shards:
-        raise ValueError("slab gather needs n_grid divisible by the mesh")
 
     pos = _pad_to_shards(state.positions, n_shards)
     vel = _pad_to_shards(state.velocities, n_shards)

@@ -260,3 +260,24 @@ def test_sharded_checkpoint_resume(mesh8, tmp_path):
     np.testing.assert_allclose(np.asarray(resumed4.positions)[:256],
                                np.asarray(full.positions),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_explicit_pallas_tile_zero_softening_warns(mesh8):
+    """An explicitly requested Pallas ring tile is downgraded to the
+    id-masked jnp tile when softening == 0 (unsoftened self-pairs need
+    the mask); the downgrade must be loud, not silent — at production
+    shard sizes the broadcast tile would OOM instead."""
+    import warnings
+
+    cfg0 = SimConfig(softening=0.0, G=0.00123)  # unique cfg: fresh trace
+    pos, vel, m = _ics(128)
+    q = Quantizer(Precision.FLOAT32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        a = ring.ring_accelerations(pos, m, q, cfg0, mesh8,
+                                    tile_impl="pallas", schedule="sym")
+    assert any("downgraded" in str(w.message) for w in rec)
+    a_ref = forces.dense_accelerations(pos, m, q, cfg0,
+                                       quantize_forces=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=5e-4, atol=5e-5)

@@ -310,3 +310,29 @@ def test_mesh_engine_divisible_n_diagnostics(mesh8):
     assert sd["positions"].shape == (1024, 2)
     st = e._trimmed_state()
     assert st.positions.sharding.is_fully_replicated
+
+
+def test_fft_pm_odd_mesh_falls_back_to_replicated():
+    """n_grid NOT divisible by the mesh: gather_mode='auto' must degrade
+    to the replicated-grid pipeline instead of raising (n_grid=48 on a
+    5-device mesh); an explicit 'slab' request is a clear error."""
+    mesh5 = ring.make_particle_mesh(5)
+    e = cosmo.CosmologicalEngine(num_particles=640, start_redshift=20.0,
+                                 precision="float32", dim=2, n_grid=48,
+                                 seed=3)
+    schedule, _ = e._build_schedule(1.0, 2)
+    fft_state, fft_stream = pm_sharded.run_pm_steps_sharded_fft(
+        e.state, schedule, e.quantizer, e.cfg, mesh5,
+        quantize_forces=False)
+    rep_state, rep_stream = pm_sharded.run_pm_steps_sharded(
+        e.state, schedule, e.quantizer, e.cfg, mesh5,
+        quantize_forces=False)
+    np.testing.assert_array_equal(np.asarray(fft_state.positions),
+                                  np.asarray(rep_state.positions))
+    np.testing.assert_array_equal(np.asarray(fft_stream.kinetic),
+                                  np.asarray(rep_stream.kinetic))
+
+    with pytest.raises(ValueError, match="divisible"):
+        pm_sharded.run_pm_steps_sharded_fft(
+            e.state, schedule, e.quantizer, e.cfg, mesh5,
+            quantize_forces=False, gather_mode="slab")
