@@ -776,14 +776,56 @@ class CosmologicalEngine:
 
     # -- checkpointing --------------------------------------------------
 
+    def _history_blob(self) -> dict:
+        """JSON form of the run histories + glitch-detector state, saved
+        with every checkpoint so a resumed run reproduces the FULL drift
+        curve and glitch log from its own state (the reference's headline
+        observable spans the whole run, simulation.py:170-196)."""
+        d = self.glitch_detector
+        return {
+            "history": {
+                **{k: v for k, v in self.history.items()
+                   if k != "glitches"},
+                "glitches": [dataclasses.asdict(g)
+                             for g in self.history["glitches"]],
+            },
+            "detector": {
+                "energy_history": d.energy_history,
+                "momentum_history": [list(m) for m in d.momentum_history],
+                "subnormal_history": d.subnormal_history,
+                "entropy_history": d.entropy_history,
+                "events": [dataclasses.asdict(g) for g in d.events],
+            },
+        }
+
+    def _restore_history_blob(self, blob: dict) -> None:
+        h = blob.get("history")
+        if h:
+            self.history = {k: list(v) for k, v in h.items()}
+            self.history["glitches"] = [
+                glitch_lib.GlitchEvent(**g) for g in h.get("glitches", [])]
+        det = blob.get("detector")
+        if det:
+            d = self.glitch_detector
+            d.energy_history = [float(x) for x in det["energy_history"]]
+            d.momentum_history = [tuple(m)
+                                  for m in det["momentum_history"]]
+            d.subnormal_history = [int(x)
+                                   for x in det["subnormal_history"]]
+            d.entropy_history = [float(x) for x in det["entropy_history"]]
+            d.events = [glitch_lib.GlitchEvent(**g)
+                        for g in det.get("events", [])]
+
     def save_checkpoint(self, manager) -> int:
         """Write the CosmoState at the current tick (utils.checkpoint).
         Resident-sharded padding is stripped so checkpoints are
-        mesh-shape-independent."""
+        mesh-shape-independent. Run histories ride in the metadata so a
+        resumed run owns the full pre-crash drift curve."""
         manager.save(self.tick, self._trimmed_state(), {
             "precision": self.precision_str,
             "redshift": self.redshift,
             "num_particles": self.num_particles,
+            "histories": self._history_blob(),
         })
         return self.tick
 
@@ -795,11 +837,18 @@ class CosmologicalEngine:
         self.state = manager.restore(step, self._trimmed_state())
         self.completed = self.redshift <= self.cfg.min_redshift
         # re-sync derived run state with the restored redshift so the next
-        # step does not log a bogus epoch transition; histories continue
-        # from the resume point (pre-crash history lives with the writer)
+        # step does not log a bogus epoch transition
         self.current_epoch = get_current_epoch(self.redshift)
-        self.history["redshift"].append(self.redshift)
-        self.history["time_gyr"].append(self.time_gyr)
+        blob = manager.load_metadata(step).get("histories")
+        if blob:
+            # full pre-crash histories (drift curve, glitch log, detector
+            # thresholds state) come back with the checkpoint
+            self._restore_history_blob(blob)
+        else:
+            # legacy checkpoint without histories: continue from the
+            # resume point (pre-crash history lives with the writer)
+            self.history["redshift"].append(self.redshift)
+            self.history["time_gyr"].append(self.time_gyr)
         logger.info("resumed from checkpoint at tick %d (z=%.3f)", step,
                     self.redshift)
         return step

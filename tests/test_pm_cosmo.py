@@ -358,3 +358,36 @@ def test_completion_with_f32_rounding_min_redshift():
             break
     assert e.completed
     assert abs(e.redshift - 0.1) < 1e-6
+
+
+def test_checkpoint_resume_reproduces_full_history(tmp_path):
+    """Kill-and-resume must reproduce the FULL drift curve: histories and
+    glitch-detector state ride with the checkpoint, so the resumed run's
+    final history equals the uninterrupted run's
+    (reference headline observable: simulation.py:170-196)."""
+    from nbody_tpu.utils.checkpoint import CheckpointManager
+
+    kw = dict(num_particles=256, start_redshift=10.0, precision="int4",
+              dim=2, n_grid=16, seed=11)
+    a = cosmo.CosmologicalEngine(**kw)
+    a.step(1.0, 4)
+    mgr = CheckpointManager(str(tmp_path / "ck"), use_orbax=False)
+    a.save_checkpoint(mgr)
+    a.step(1.0, 3)
+
+    b = cosmo.CosmologicalEngine(**kw)  # "crashed" process restarts
+    assert b.restore_latest(mgr) == 4
+    b.step(1.0, 3)
+
+    for key in ("energy", "redshift", "time_gyr", "bao_scale",
+                "clustering"):
+        np.testing.assert_array_equal(np.asarray(a.history[key]),
+                                      np.asarray(b.history[key]), err_msg=key)
+    assert [g.__dict__ for g in a.history["glitches"]] == \
+        [g.__dict__ for g in b.history["glitches"]]
+    assert a.history["exploits"][-1].keys() == \
+        b.history["exploits"][-1].keys()
+    # detector threshold state restored too (no bogus resume-edge events)
+    assert a.glitch_detector.energy_history == \
+        b.glitch_detector.energy_history
+    assert len(a.glitch_detector.events) == len(b.glitch_detector.events)
