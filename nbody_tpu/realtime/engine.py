@@ -131,13 +131,14 @@ class CosmicWebEngine:
 
     def __init__(self, state: SharedState, num_particles: int,
                  precision: str, seed: int, target_fps: float = 30.0,
-                 steps_per_frame: int = 2):
+                 steps_per_frame: int = 2, mesh=None):
         self.state = state
         self.num_particles = num_particles
         self.precision = precision
         self.seed = seed
         self.target_dt = 1.0 / target_fps
         self.steps_per_frame = steps_per_frame
+        self.mesh = mesh  # multi-chip: resident-sharded engine loop
         self.engine = None
         self._pending = None  # in-flight dispatched chunk
 
@@ -147,7 +148,7 @@ class CosmicWebEngine:
         return CosmologicalEngine(
             num_particles=self.num_particles, start_redshift=50.0,
             precision=self.precision, dim=2, n_grid=64,
-            min_redshift=0.001, seed=self.seed)
+            min_redshift=0.001, seed=self.seed, mesh=self.mesh)
 
     def start(self):
         self.engine = self._new_engine()
@@ -370,7 +371,7 @@ def run_realtime_engine(num_particles: int = 10000,
                         seed: int = 42, headless: bool = True,
                         out_dir: str = "output/realtime",
                         frame_interval_s: float = 5.0,
-                        animate: bool = False) -> dict:
+                        animate: bool = False, mesh=None) -> dict:
     """(reference: realtime_reality_engine.py:766-880)
 
     ``animate=True`` runs the live FuncAnimation dashboard (interactive
@@ -380,7 +381,8 @@ def run_realtime_engine(num_particles: int = 10000,
     from non-main threads deadlocks. Default mode is the status loop
     with periodic PNG frames."""
     state = SharedState()
-    producer = CosmicWebEngine(state, num_particles, precision, seed)
+    producer = CosmicWebEngine(state, num_particles, precision, seed,
+                               mesh=mesh)
     producer.start()  # main-thread engine construction + first snapshot
     monitors = [BAOSolver(state), RSIMonitor(state)]
     for t in monitors:
@@ -438,6 +440,8 @@ def run_realtime_engine(num_particles: int = 10000,
         report = {
             "num_particles": num_particles,
             "precision": precision,
+            "mesh_devices": (0 if mesh is None
+                             else int(np.prod(list(mesh.shape.values())))),
             "duration_s": seconds,
             "final_tick": m.tick,
             "final_redshift": m.redshift,
@@ -472,11 +476,20 @@ def main(argv=None):
                         "display exists")
     p.add_argument("--animate", action="store_true",
                    help="run the FuncAnimation dashboard (gif headless)")
+    p.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
+                   metavar="N",
+                   help="run the live loop sharded over an N-device mesh "
+                        "(bare --mesh = all local devices)")
     p.add_argument("--output", type=str, default="output/realtime")
     args = p.parse_args(argv)
+    mesh = None
+    if args.mesh is not None:
+        from nbody_tpu.parallel import ring
+
+        mesh = ring.make_particle_mesh(args.mesh if args.mesh > 0 else None)
     run_realtime_engine(args.particles, args.precision, args.seconds,
                         args.seed, args.headless, args.output,
-                        animate=args.animate)
+                        animate=args.animate, mesh=mesh)
 
 
 if __name__ == "__main__":

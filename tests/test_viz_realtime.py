@@ -158,3 +158,36 @@ def test_realtime_pump_frames_are_history_consistent():
     assert abs(st.metrics.redshift - eng.redshift) < 1e-6
     np.testing.assert_array_equal(st.positions,
                                   np.asarray(eng.positions))
+
+
+def test_realtime_pump_mesh_matches_single_device():
+    """CosmicWebEngine(mesh=...) runs the live loop through the
+    resident-sharded engine path and publishes the same
+    history-consistent frames as the single-device producer
+    (reference live loop: realtime_reality_engine.py:187-345)."""
+    import jax
+
+    from nbody_tpu.parallel import ring
+    from nbody_tpu.realtime.engine import CosmicWebEngine, SharedState
+
+    assert len(jax.devices()) >= 8
+    mesh = ring.make_particle_mesh(8)
+
+    results = {}
+    for key, m in (("mesh", mesh), ("single", None)):
+        st = SharedState()
+        prod = CosmicWebEngine(st, num_particles=225, precision="float32",
+                               seed=5, target_fps=1000.0,
+                               steps_per_frame=2, mesh=m)
+        prod.start()
+        for _ in range(3):
+            prod.pump()
+        prod.drain()
+        assert st.metrics.tick == prod.engine.tick
+        assert st.positions.shape == (225, 2)  # 15^2 lattice, unaligned vs 8 shards
+        results[key] = (st.positions.copy(), st.metrics.kinetic_energy)
+
+    np.testing.assert_allclose(results["mesh"][0], results["single"][0],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(results["mesh"][1], results["single"][1],
+                               rtol=1e-3)
