@@ -32,45 +32,62 @@ from nbody_tpu.ops.precision import Precision
 from nbody_tpu.utils.profiler import DeviceProfiler, fence
 
 DEFAULT_COUNTS = [100, 250, 500, 1000, 2000, 4000, 8000]
+# On TPU, everything below ~16k is dispatch-dominated (the kernel finishes
+# faster than the host can issue the next scan); the reference's question —
+# does time grow WORSE than N^2 with density (density_limit_test.py:270-316)
+# — is only answerable in the compute-bound regime, so the on-chip default
+# sweep extends to 262k.
+DEFAULT_COUNTS_TPU = [1000, 4000, 8000, 16384, 32768, 65536,
+                      131072, 262144]
+
+
+def _ticks_for(n: int, ticks_per_size: int) -> int:
+    """Bound the measured pair work per row (~3e10 pairs) so the large-N
+    tail stays minutes, not hours; small N keep the full tick count."""
+    return max(5, min(ticks_per_size, int(3e10 / max(n * n, 1))))
 
 
 def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
     """(reference: density_limit_test.py:206-267)"""
-    counts = counts or DEFAULT_COUNTS
+    if counts is None:
+        counts = (DEFAULT_COUNTS_TPU if jax.default_backend() == "tpu"
+                  else DEFAULT_COUNTS)
     print(f"\n{'=' * 60}\nDENSITY LIMIT TEST\n{'=' * 60}")
-    print(f"counts: {counts}, ticks each: {ticks_per_size}")
+    print(f"counts: {counts}, ticks each: <= {ticks_per_size}")
 
     results = []
     for mode_name, precision in (("clean_float32", Precision.FLOAT32),
                                  ("int4_broken", Precision.INT4_SIM)):
         print(f"\n  --- {mode_name} ---")
         for n in counts:
+            ticks = _ticks_for(n, ticks_per_size)
             pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed),
                                              num_stars=n)
             sim = DirectSimulation(pos, vel, m, precision=precision)
             # warm the EXACT program measured below (num_steps is a
             # static jit arg: a different count compiles a different
             # program and the timed region would include compilation)
-            sim.step(ticks_per_size)
+            sim.step(ticks)
             fence(sim.state.positions)
 
             prof = DeviceProfiler(sample_interval_ms=50,
                                   experiment_name=f"{mode_name}_N{n}")
             prof.start()
             t0 = time.perf_counter()
-            sim.step(ticks_per_size)
+            sim.step(ticks)
             fence(sim.state.positions)
             wall = time.perf_counter() - t0
             prof.stop()
             analysis = prof.analyze()
 
-            ms_per_tick = wall / ticks_per_size * 1e3
+            ms_per_tick = wall / ticks * 1e3
             crashed = not np.isfinite(np.asarray(sim.positions)).all()
             results.append({
                 "mode": mode_name,
                 "num_stars": n,
+                "ticks": ticks,
                 "ms_per_tick": ms_per_tick,
-                "pairs_per_sec": n * n * ticks_per_size / wall,
+                "pairs_per_sec": n * n * ticks / wall,
                 "peak_memory_mb": analysis.peak_memory_mb,
                 "power_watts": None,           # NVML channel: unavailable
                 "power_per_star": None,        # degraded-mode placeholder
@@ -85,7 +102,15 @@ def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
 
 
 def analyze_scaling(results) -> dict:
-    """Log-log power-law fit (reference: density_limit_test.py:270-316)."""
+    """Log-log power-law fit on the COMPUTE-BOUND tail
+    (reference: density_limit_test.py:270-316).
+
+    On TPU the small-N rows sit on a fixed dispatch floor (host issue +
+    tunnel latency; the kernel itself is microseconds), where a power-law
+    fit would report exponent ~0 and the super-quadratic anomaly check is
+    vacuous. Rows are classified by their distance from the observed
+    floor: only rows >= 4x the cheapest tick cost enter the fit. Each
+    result row is annotated with its regime."""
     verdicts = {}
     for mode in ("clean_float32", "int4_broken"):
         rows = [r for r in results if r["mode"] == mode and not r["crashed"]]
@@ -93,19 +118,39 @@ def analyze_scaling(results) -> dict:
             continue
         n = np.array([r["num_stars"] for r in rows], float)
         t = np.array([r["ms_per_tick"] for r in rows], float)
-        # fit only the asymptotic tail (fixed dispatch costs dominate small N)
-        tail = n >= np.median(n)
-        exponent = float(np.polyfit(np.log(n[tail]), np.log(t[tail]), 1)[0])
+        floor = float(t.min())
+        compute_bound = t >= 4.0 * floor
+        for r, cb in zip(rows, compute_bound):
+            r["regime"] = "compute_bound" if cb else "dispatch_floor"
+        if compute_bound.sum() >= 3:
+            sel = compute_bound
+            regime_note = (f"fit on {int(sel.sum())} compute-bound rows "
+                           f"(dispatch floor {floor:.2f} ms/tick)")
+        else:
+            # whole sweep sits on the floor (CPU CI / tiny sweeps): fall
+            # back to the asymptotic-median tail but SAY the verdict is
+            # dispatch-dominated rather than reporting a physical exponent
+            sel = n >= np.median(n)
+            regime_note = ("dispatch-dominated sweep: no compute-bound "
+                           "rows; exponent reflects host dispatch, not "
+                           "pair physics — extend --counts upward")
+        exponent = float(np.polyfit(np.log(n[sel]), np.log(t[sel]), 1)[0])
         verdicts[mode] = {
             "exponent": exponent,
-            "anomalous": exponent > 2.2,
+            "dispatch_floor_ms": floor,
+            "compute_bound_rows": int(compute_bound.sum()),
+            "regime_note": regime_note,
+            "anomalous": bool(compute_bound.sum() >= 3 and exponent > 2.2),
             "interpretation": (
                 "SUPER-QUADRATIC — density slows reality beyond O(N^2)"
-                if exponent > 2.2 else
+                if compute_bound.sum() >= 3 and exponent > 2.2 else
                 f"scaling exponent {exponent:.2f} (<= 2: at or below the "
-                "theoretical O(N^2) pairwise cost)"),
+                "theoretical O(N^2) pairwise cost)"
+                if compute_bound.sum() >= 3 else
+                "dispatch-dominated: anomaly check not meaningful at this "
+                "scale"),
         }
-        print(f"  {mode}: time ~ N^{exponent:.2f} "
+        print(f"  {mode}: time ~ N^{exponent:.2f} [{regime_note}] "
               f"({verdicts[mode]['interpretation']})")
     return verdicts
 
