@@ -166,7 +166,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     counts = ([int(c) for c in args.counts.split(",")] if args.counts
-              else DEFAULT_COUNTS)
+              else None)  # None -> backend-appropriate default sweep
     if args.quick:
         counts = [100, 250, 500, 1000, 2000]
         args.ticks = 50

@@ -311,7 +311,8 @@ def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
 def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
                                   q: Quantizer, cfg: SimConfig,
                                   quantize_forces: bool,
-                                  tile_impl: str = "auto"):
+                                  tile_impl: str = "auto",
+                                  ext_bounds=None):
     """Half-ring Newton's-third-law schedule: every unordered pair once.
 
     The plain ring (``_ring_accelerations_local``) rotates source blocks
@@ -333,7 +334,11 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
     axis_size = jax.lax.psum(1, AXIS)
     my = jax.lax.axis_index(AXIS)
 
-    if q.is_int:
+    if ext_bounds is not None:
+        # bounds-reuse mode: the caller owns the log-grid bounds (see
+        # run_steps_sharded's bounds_every)
+        log_lo, log_hi = ext_bounds
+    elif q.is_int:
         max_d2 = _ring_max_d2(pos_local, ids_local, n_total, cfg)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
     else:
@@ -481,14 +486,16 @@ def _pad_to_shards(x, n_shards, fill=0.0):
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
-                                    "gather", "schedule", "n_total"))
+                                    "gather", "schedule", "n_total",
+                                    "bounds_every"))
 def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       mesh: Mesh, num_steps: int,
                       quantize_forces: bool = False,
                       steps_per_chunk: int = 0,
                       gather: bool = True,
                       schedule: str = "sym",
-                      n_total: int | None = None):
+                      n_total: int | None = None,
+                      bounds_every: int = 1):
     """Sharded leapfrog run: scan over ticks with the ring force inside.
 
     Returns (final ParticleState, per-chunk EnergyStream of
@@ -503,6 +510,14 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     ``n_total`` marks the real particle count when ``state`` is already
     padded to the shard boundary (a resident gather=False state being
     chained); rows past it are phantoms excluded from quantization bounds.
+
+    ``bounds_every=k`` (int-sim modes, sym schedule) recomputes the
+    global log-grid bounds ring pass every k-th step instead of every
+    force evaluation, amortising its cost. k=1 (default) is EXACT
+    reference semantics (tensor-global bounds per evaluation,
+    reference: quantization.py:112-121); k>1 trades a bounded bin-edge
+    shift on non-recompute steps for throughput — see docs/PERF.md for
+    the measured drift-envelope impact before enabling it.
     """
     if n_total is None:
         n_total = state.positions.shape[0]
@@ -521,26 +536,47 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     force_local = (_ring_accelerations_sym_local if schedule == "sym"
                    else _ring_accelerations_local)
 
-    def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
-        def force(p):
-            return force_local(p, gm_l, ids_l, n_total, q, cfg,
-                               quantize_forces)
+    bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
 
-        acc_l = force(pos_l)
+    def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
+        def bounds_of(p):
+            max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
+            return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+
+        if bounds_reuse:
+            def force(p, b):
+                return _ring_accelerations_sym_local(
+                    p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
+                    ext_bounds=b)
+
+            b0 = bounds_of(pos_l)
+        else:
+            def force(p, b):
+                return force_local(p, gm_l, ids_l, n_total, q, cfg,
+                                   quantize_forces)
+
+            b0 = (jnp.float32(0.0), jnp.float32(0.0))  # unused carry slot
+
+        acc_l = force(pos_l, b0)
 
         def one_step(carry, _):
-            p, v, a = carry
+            p, v, a, b, k = carry
             v = v + a * half_dt
             p = p + v * cfg.dt
-            a = force(p)
+            if bounds_reuse:
+                # amortised global-bounds pass: recompute every k-th step
+                # on the freshly drifted positions, reuse in between
+                b = jax.lax.cond(k % bounds_every == 0, bounds_of,
+                                 lambda _: b, p)
+            a = force(p, b)
             v = v + a * half_dt
-            return (p, v, a), None
+            return (p, v, a, b, k + 1), None
 
         def chunk(carry, _):
             carry, _ = jax.lax.scan(one_step, carry, None,
                                     length=max(min(steps_per_chunk,
                                                    num_steps), 1))
-            p, v, a = carry
+            p, v, a, _, _ = carry
             # On-device sharded total energy (the reference's headline
             # observable, simulation.py:170-196): KE via a psum of local
             # compensated sums, PE via a second ring pass.
@@ -551,21 +587,22 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
             pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg)
             return carry, EnergyStream(ke, pe, ke + pe)
 
+        carry0 = (pos_l, vel_l, acc_l, b0, jnp.asarray(0, jnp.int32))
         if steps_per_chunk:
             spc = min(steps_per_chunk, num_steps)
             n_chunks = num_steps // spc
             remainder = num_steps - n_chunks * spc
-            carry, energies = jax.lax.scan(chunk, (pos_l, vel_l, acc_l),
-                                           None, length=n_chunks)
+            carry, energies = jax.lax.scan(chunk, carry0, None,
+                                           length=n_chunks)
             if remainder:  # run the tail ticks (no snapshot for them)
                 carry, _ = jax.lax.scan(one_step, carry, None,
                                         length=remainder)
         else:
-            carry, _ = jax.lax.scan(one_step, (pos_l, vel_l, acc_l), None,
+            carry, _ = jax.lax.scan(one_step, carry0, None,
                                     length=num_steps)
             z = jnp.zeros((1,), jnp.float32)
             energies = EnergyStream(z, z, z)
-        p, v, a = carry
+        p, v, a, _, _ = carry
         return p, v, a, energies
 
     fn = shard_map(

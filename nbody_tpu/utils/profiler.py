@@ -16,6 +16,28 @@ expose none of those through JAX, so this module:
   features');
 * wraps ``jax.profiler`` trace capture for deep dives (XLA op-level
   timeline in TensorBoard format), which the reference has no analogue of.
+
+Channel availability, MEASURED on this platform by
+``tools/tpu_telemetry_probe.py`` (round 3; the chip sits behind the axon
+tunnel — there is no local libtpu metrics service and no sysfs
+accelerator node):
+
+=====================  ============================================
+channel                status on TPU v5 lite via axon
+=====================  ============================================
+step wall time          MEASURED (host-fetch fenced)
+jax.profiler trace      MEASURED (op-level XLA timeline)
+host CPU / RSS          MEASURED (psutil)
+device memory           UNAVAILABLE (PJRT memory_stats() empty
+                        through the tunnel; populated on direct-
+                        attached TPU runtimes, degrades to None here)
+power_watts             UNAVAILABLE (no PJRT API, no local libtpu)
+temperature_c           UNAVAILABLE (same)
+clock_mhz / throttle    UNAVAILABLE (same; step-time jitter CV is the
+                        clock-stability analogue)
+duty cycle / HBM util   UNAVAILABLE (libtpu gRPC metrics need a local
+                        runtime; tpu_info not installable, zero egress)
+=====================  ============================================
 """
 
 from __future__ import annotations
@@ -175,6 +197,13 @@ class DeviceProfiler:
 
         mean_step = statistics.fmean(st) if st else None
         std_step = statistics.pstdev(st) if len(st) > 1 else None
+        unavailable = ["power_watts", "clock_mhz", "temperature_c",
+                       "throttle_reasons"]
+        if self.samples and not mems:
+            # PJRT memory_stats() is empty through the axon tunnel
+            # (measured: tools/tpu_telemetry_probe.py) — surface the
+            # degradation instead of silently reporting None
+            unavailable.append("device_memory")
         return ProfileAnalysis(
             duration_s=dur,
             num_samples=len(self.samples),
@@ -189,8 +218,7 @@ class DeviceProfiler:
             step_time_cv=(std_step / mean_step
                           if st and mean_step and std_step is not None
                           else None),
-            unavailable_channels=["power_watts", "clock_mhz",
-                                  "temperature_c", "throttle_reasons"],
+            unavailable_channels=unavailable,
         )
 
     def print_report(self):

@@ -281,3 +281,35 @@ def test_explicit_pallas_tile_zero_softening_warns(mesh8):
                                        quantize_forces=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
                                rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_bounds_reuse_tracks_exact(n_dev):
+    """bounds_every=k amortises the int-sim global-bounds ring pass.
+    k=1 must be bit-identical to the default path; k>1 is a semantic
+    delta (bin edges move between recomputes) that must stay within the
+    chaotic f32 envelope at short horizons."""
+    mesh = ring.make_particle_mesh(n_dev)
+    pos, vel, m = _ics(250)
+    st = make_state(pos, vel, m)
+    q = Quantizer(Precision.INT4_SIM)
+
+    exact, es1 = ring.run_steps_sharded(st, q, CFG, mesh, num_steps=12,
+                                        quantize_forces=True,
+                                        steps_per_chunk=4)
+    same, _ = ring.run_steps_sharded(st, q, CFG, mesh, num_steps=12,
+                                     quantize_forces=True,
+                                     steps_per_chunk=4, bounds_every=1)
+    np.testing.assert_array_equal(np.asarray(exact.positions),
+                                  np.asarray(same.positions))
+
+    reused, es4 = ring.run_steps_sharded(st, q, CFG, mesh, num_steps=12,
+                                         quantize_forces=True,
+                                         steps_per_chunk=4, bounds_every=4)
+    np.testing.assert_allclose(np.asarray(reused.positions),
+                               np.asarray(exact.positions),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(es4.total),
+                               np.asarray(es1.total),
+                               rtol=5e-3,
+                               atol=5e-3 * abs(float(es1.total[0])))
