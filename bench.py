@@ -67,6 +67,27 @@ def main():
     f32 = measure(Precision.FLOAT32, False)
     int4 = measure(Precision.INT4_SIM, True)
 
+    # Opt-in bounds-reuse arm: the int4 kernel with its tensor-global
+    # bounds pass amortised over 4 steps (bounds_every=4 — a documented
+    # semantic delta, docs/PERF.md; the headline int4 number above keeps
+    # exact per-evaluation reference semantics).
+    def measure_bounds4():
+        q = Quantizer(Precision.INT4_SIM)
+        t0 = time.time()
+        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4)
+        np.asarray(out.positions[:1])
+        log(f"int4 bounds_every=4: warmup {time.time() - t0:.1f}s")
+        t0 = time.time()
+        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4)
+        np.asarray(out.positions[:1])
+        wall = time.time() - t0
+        pairs = n * n * STEPS / wall
+        log(f"int4 bounds_every=4: {wall / STEPS * 1e3:.2f} ms/step  "
+            f"{pairs:.3e} pairs/s")
+        return pairs
+
+    int4_b4 = measure_bounds4()
+
     result = {
         "metric": f"pairwise_interactions_per_sec_chip_N{n}_f32",
         "value": f32,
@@ -74,6 +95,7 @@ def main():
         "vs_baseline": f32 / BASELINE_PAIRS_PER_SEC,
         "int4_value": int4,
         "int4_vs_baseline": int4 / BASELINE_PAIRS_PER_SEC,
+        "int4_bounds4_value": int4_b4,
     }
 
     if on_tpu:

@@ -40,11 +40,8 @@ def _sym_vmem_resident_bytes(n: int, dim: int = 2) -> int:
     return 4 * (2 * dim + 1) * n
 
 
-def _force_fn(impl: str, n: int, dim: int = 2):
-    """Pick a force implementation. 'auto' = the Pallas kernel on TPU
-    (symmetric while its grid-resident arrays fit VMEM, the HBM-streaming
-    row kernel beyond), dense at small N / tiled at large N elsewhere
-    (Pallas interpret mode on CPU is debug-speed only)."""
+def _resolve_impl(impl: str, n: int, dim: int = 2) -> str:
+    """Resolve 'auto' to a concrete implementation name."""
     if impl == "auto":
         if jax.default_backend() == "tpu" and n >= 512:
             impl = ("pallas"
@@ -52,6 +49,15 @@ def _force_fn(impl: str, n: int, dim: int = 2):
                     else "pallas_sym_chunked")
         else:
             impl = "dense" if n <= 2048 else "tiled"
+    return impl
+
+
+def _force_fn(impl: str, n: int, dim: int = 2):
+    """Pick a force implementation. 'auto' = the Pallas kernel on TPU
+    (symmetric while its grid-resident arrays fit VMEM, the HBM-streaming
+    row kernel beyond), dense at small N / tiled at large N elsewhere
+    (Pallas interpret mode on CPU is debug-speed only)."""
+    impl = _resolve_impl(impl, n, dim)
     if impl == "dense":
         return forces.dense_accelerations
     if impl == "tiled":
@@ -112,21 +118,74 @@ def leapfrog_step_baseline(state: BaselineState, cfg: SimConfig) -> BaselineStat
     return BaselineState(pos, vel, state.masses, acc, state.tick + 1)
 
 
+_BOUNDS_REUSE_IMPLS = ("dense", "tiled", "pallas")
+
+
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
-                                             "quantize_forces", "num_steps"))
+                                             "quantize_forces", "num_steps",
+                                             "bounds_every"))
 def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
               impl: str, quantize_forces: bool, num_steps: int,
-              dt=None, softening_sq=None) -> ParticleState:
+              dt=None, softening_sq=None,
+              bounds_every: int = 1) -> ParticleState:
     """num_steps leapfrog steps as one fused on-device scan. Optional
-    traced dt/softening_sq: one compiled program serves a whole sweep."""
-    force = _force_fn(impl, state.positions.shape[0],
-                      state.positions.shape[1])
+    traced dt/softening_sq: one compiled program serves a whole sweep.
 
-    def body(s, _):
-        return leapfrog_step(s, q, cfg, force, quantize_forces,
-                             dt=dt, softening_sq=softening_sq), None
+    ``bounds_every=k`` (int-sim modes) recomputes the tensor-global
+    log-grid bounds every k-th step instead of every force evaluation
+    (the max pass is ~20% of the int4 step at N=131k). k=1 (default) is
+    exact reference semantics (quantization.py:112-121); see
+    docs/PERF.md for the k>1 parity analysis before enabling."""
+    n, dim = state.positions.shape
+    force = _force_fn(impl, n, dim)
+    reuse = q.is_int and bounds_every > 1
+    if not reuse:
+        def body(s, _):
+            return leapfrog_step(s, q, cfg, force, quantize_forces,
+                                 dt=dt, softening_sq=softening_sq), None
 
-    state, _ = jax.lax.scan(body, state, None, length=num_steps)
+        state, _ = jax.lax.scan(body, state, None, length=num_steps)
+        return state
+
+    resolved = _resolve_impl(impl, n, dim)
+    if resolved not in _BOUNDS_REUSE_IMPLS:
+        raise ValueError(f"bounds_every > 1 is not supported for "
+                         f"force impl '{resolved}' (no external-bounds "
+                         f"hook); use one of {_BOUNDS_REUSE_IMPLS}")
+
+    def bounds_of(p):
+        if resolved == "pallas":
+            from nbody_tpu.ops.pallas_nbody import pallas_max_dist_sq
+
+            max_d2 = pallas_max_dist_sq(p, cfg, softening_sq=softening_sq)
+        else:
+            max_d2 = forces.max_pairwise_dist_sq(
+                p, cfg, softening_sq=softening_sq)
+        from nbody_tpu.ops.precision import dist_sq_log_bounds
+
+        return dist_sq_log_bounds(
+            q, max_d2,
+            cfg.softening_sq if softening_sq is None else softening_sq)
+
+    dt_ = cfg.dt if dt is None else dt
+    half_dt = dt_ * 0.5
+
+    def body(carry, _):
+        s, b, k = carry
+        vel = s.velocities + s.accelerations * half_dt
+        pos = s.positions + vel * dt_
+        b = jax.lax.cond(k % bounds_every == 0, bounds_of,
+                         lambda _: b, pos)
+        acc = force(pos, s.masses, q, cfg, quantize_forces=quantize_forces,
+                    softening_sq=softening_sq, log_lo=b[0], log_hi=b[1])
+        vel = vel + acc * half_dt
+        s = ParticleState(pos, vel, s.masses, acc, s.tick + 1)
+        return (s, b, k + 1), None
+
+    b0 = bounds_of(state.positions)
+    (state, _, _), _ = jax.lax.scan(
+        body, (state, b0, jnp.asarray(0, jnp.int32)), None,
+        length=num_steps)
     return state
 
 
@@ -207,7 +266,8 @@ class DirectSimulation:
                  custom_levels: int = 64,
                  dynamic_params: bool = False,
                  mesh=None,
-                 schedule: str = "sym"):
+                 schedule: str = "sym",
+                 bounds_every: int = 1):
         if isinstance(precision, str):
             precision = Quantizer.from_string(precision, custom_levels)
         elif isinstance(precision, Precision):
@@ -250,6 +310,7 @@ class DirectSimulation:
         # calls; every user surface below trims/gathers transparently.
         self.mesh = mesh
         self.schedule = schedule
+        self.bounds_every = bounds_every
         self._n_total = int(jnp.shape(positions)[0])
         if mesh is not None and dynamic_params:
             raise ValueError("dynamic_params is not supported with mesh= "
@@ -319,14 +380,16 @@ class DirectSimulation:
                     self.state, self.quantizer, self.cfg, self.mesh,
                     num_steps, quantize_forces=self.quantize_forces,
                     gather=False, schedule=self.schedule,
-                    n_total=self._n_total)
+                    n_total=self._n_total,
+                    bounds_every=self.bounds_every)
         elif self.is_baseline:
             self.state = run_steps_baseline(self.state, self.cfg, num_steps)
         else:
             self.state = run_steps(self.state, self.quantizer, self.cfg,
                                    self.force_impl, self.quantize_forces,
                                    num_steps, dt=self._dyn_dt,
-                                   softening_sq=self._dyn_soft_sq)
+                                   softening_sq=self._dyn_soft_sq,
+                                   bounds_every=self.bounds_every)
 
     def run(self, num_ticks: int, callback: Optional[Callable] = None,
             callback_interval: int = 100):

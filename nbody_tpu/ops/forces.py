@@ -113,13 +113,18 @@ def _maybe_quantize_force(acc, q: Quantizer, quantize_forces: bool):
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces"))
 def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                         quantize_forces: bool = True,
-                        softening_sq=None) -> jnp.ndarray:
-    """Oracle implementation: materialises (N, N). Small N only."""
+                        softening_sq=None, log_lo=None,
+                        log_hi=None) -> jnp.ndarray:
+    """Oracle implementation: materialises (N, N). Small N only.
+
+    ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
+    (the bounds-reuse path owns them); default recomputes per call."""
     n = positions.shape[0]
     # Use the same bounds helper as the tiled/Pallas paths so all three
     # implementations quantize onto bit-identical grids (a 1-ulp bound
     # difference can flip a bin and move a force by a whole grid step).
-    log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
+    if log_lo is None or log_hi is None:
+        log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
     self_mask = jnp.eye(n, dtype=bool)
     acc = _pair_block(positions, positions, masses, self_mask, q, cfg,
                       log_lo, log_hi, softening_sq)
@@ -130,10 +135,12 @@ def dense_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                                              "block"))
 def tiled_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                         quantize_forces: bool = True,
-                        block: int = 1024, softening_sq=None) -> jnp.ndarray:
+                        block: int = 1024, softening_sq=None,
+                        log_lo=None, log_hi=None) -> jnp.ndarray:
     """O(N) memory row-blocked force evaluation (any backend)."""
     n, d = positions.shape
-    log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
+    if log_lo is None or log_hi is None:
+        log_lo, log_hi = _quant_bounds(positions, q, cfg, softening_sq)
 
     pad = (-n) % block
     pos_p = jnp.pad(positions, ((0, pad), (0, 0)))

@@ -270,3 +270,31 @@ def test_int4_breaks_momentum_symmetry():
                                 axis=0))
         drifts[mode] = float(np.abs(p1 - p0).max())
     assert drifts[Precision.INT4_SIM] > drifts[Precision.FLOAT32]
+
+
+def test_run_steps_bounds_every_single_device():
+    """Single-device bounds reuse: k=1 is bit-identical to the default
+    path; k=4 stays within the short-horizon chaotic envelope; impls
+    without an external-bounds hook refuse loudly."""
+    import pytest
+
+    from nbody_tpu.models.direct import run_steps
+    from nbody_tpu.models.state import make_state
+
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(4),
+                                            num_stars=192)
+    st = make_state(pos, vel, m)
+    q = Quantizer(Precision.INT4_SIM)
+
+    base = run_steps(st, q, CFG, "dense", True, 10)
+    same = run_steps(st, q, CFG, "dense", True, 10, bounds_every=1)
+    np.testing.assert_array_equal(np.asarray(base.positions),
+                                  np.asarray(same.positions))
+
+    reused = run_steps(st, q, CFG, "dense", True, 10, bounds_every=4)
+    np.testing.assert_allclose(np.asarray(reused.positions),
+                               np.asarray(base.positions),
+                               rtol=5e-3, atol=5e-3)
+
+    with pytest.raises(ValueError, match="bounds_every"):
+        run_steps(st, q, CFG, "pallas_streamed", True, 2, bounds_every=4)
