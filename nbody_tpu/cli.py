@@ -79,6 +79,12 @@ Precision modes:
     p.add_argument("--schedule", type=str, default="sym",
                    choices=["sym", "rows"],
                    help="ring force schedule for --mesh runs")
+    p.add_argument("--bounds-every", type=int, default=1, metavar="K",
+                   help="int-sim modes: recompute the global log-grid "
+                        "bounds every K steps instead of every force "
+                        "evaluation (K=1 = exact reference semantics; "
+                        "K>1 trades a documented bin-edge lag for "
+                        "throughput, see docs/PERF.md)")
     return p
 
 
@@ -125,7 +131,8 @@ def run_compare(args) -> dict:
         print(f"\n{'=' * 50}\nRunning simulation: {mode.value}\n{'=' * 50}")
         sim = DirectSimulation(positions, velocities, masses, precision=mode,
                                cfg=cfg, force_impl=args.force_impl,
-                               mesh=mesh, schedule=schedule)
+                               mesh=mesh, schedule=schedule,
+                               bounds_every=getattr(args, "bounds_every", 1))
         snap0 = metrics_lib.snapshot(sim.positions, sim.velocities,
                                      sim.masses, sim.state.tick, cfg)
         t0 = time.time()

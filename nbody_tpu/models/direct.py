@@ -201,30 +201,78 @@ def run_steps_baseline(state: BaselineState, cfg: SimConfig,
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "steps_per_chunk",
-                                             "num_chunks", "num_bins"))
+                                             "num_chunks", "num_bins",
+                                             "bounds_every"))
 def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
                        impl: str, quantize_forces: bool,
                        steps_per_chunk: int, num_chunks: int,
-                       num_bins: int = 20, dt=None, softening_sq=None):
+                       num_bins: int = 20, dt=None, softening_sq=None,
+                       bounds_every: int = 1):
     """Run num_chunks * steps_per_chunk ticks; emit a fused metrics Snapshot
     and a position frame after each chunk. Entirely on-device: one jitted
     program, outputs stacked along a leading chunk axis. Optional traced
-    dt/softening_sq override the static cfg (dynamic-sweep mode)."""
-    force = _force_fn(impl, state.positions.shape[0],
-                      state.positions.shape[1])
+    dt/softening_sq override the static cfg (dynamic-sweep mode);
+    ``bounds_every`` follows run_steps."""
+    n, dim = state.positions.shape
+    force = _force_fn(impl, n, dim)
+    reuse = q.is_int and bounds_every > 1
+    if reuse:
+        resolved = _resolve_impl(impl, n, dim)
+        if resolved not in _BOUNDS_REUSE_IMPLS:
+            raise ValueError(f"bounds_every > 1 is not supported for "
+                             f"force impl '{resolved}'")
+        dt_ = cfg.dt if dt is None else dt
+        half_dt = dt_ * 0.5
 
-    def chunk(s, _):
-        def body(ss, __):
-            return leapfrog_step(ss, q, cfg, force, quantize_forces,
-                                 dt=dt, softening_sq=softening_sq), None
+        def bounds_of(p):
+            if resolved == "pallas":
+                from nbody_tpu.ops.pallas_nbody import pallas_max_dist_sq
 
-        s, _ = jax.lax.scan(body, s, None, length=steps_per_chunk)
+                max_d2 = pallas_max_dist_sq(p, cfg,
+                                            softening_sq=softening_sq)
+            else:
+                max_d2 = forces.max_pairwise_dist_sq(
+                    p, cfg, softening_sq=softening_sq)
+            from nbody_tpu.ops.precision import dist_sq_log_bounds
+
+            return dist_sq_log_bounds(
+                q, max_d2,
+                cfg.softening_sq if softening_sq is None else softening_sq)
+
+        def body(carry, _):
+            s, b, k = carry
+            vel = s.velocities + s.accelerations * half_dt
+            pos = s.positions + vel * dt_
+            b = jax.lax.cond(k % bounds_every == 0, bounds_of,
+                             lambda _: b, pos)
+            acc = force(pos, s.masses, q, cfg,
+                        quantize_forces=quantize_forces,
+                        softening_sq=softening_sq, log_lo=b[0],
+                        log_hi=b[1])
+            vel = vel + acc * half_dt
+            return (ParticleState(pos, vel, s.masses, acc, s.tick + 1),
+                    b, k + 1), None
+
+        carry0 = (state, bounds_of(state.positions),
+                  jnp.asarray(0, jnp.int32))
+    else:
+        def body(carry, _):
+            return (leapfrog_step(carry[0], q, cfg, force, quantize_forces,
+                                  dt=dt, softening_sq=softening_sq),
+                    carry[1], carry[2]), None
+
+        carry0 = (state, jnp.float32(0.0), jnp.asarray(0, jnp.int32))
+
+    def chunk(carry, _):
+        carry, _ = jax.lax.scan(body, carry, None, length=steps_per_chunk)
+        s = carry[0]
         snap = metrics_lib.snapshot(s.positions, s.velocities, s.masses,
                                     s.tick, cfg, num_bins=num_bins)
-        return s, (snap, s.positions)
+        return carry, (snap, s.positions)
 
-    state, (snaps, frames) = jax.lax.scan(chunk, state, None, length=num_chunks)
-    return state, snaps, frames
+    carry, (snaps, frames) = jax.lax.scan(chunk, carry0, None,
+                                          length=num_chunks)
+    return carry[0], snaps, frames
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps_per_chunk",
@@ -429,7 +477,8 @@ class DirectSimulation:
                     self.state, self.quantizer, self.cfg, self.mesh, steps,
                     num_chunks, quantize_forces=self.quantize_forces,
                     num_bins=num_bins, schedule=self.schedule,
-                    n_total=self._n_total)
+                    n_total=self._n_total,
+                    bounds_every=self.bounds_every)
         elif self.is_baseline:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)
@@ -437,7 +486,8 @@ class DirectSimulation:
             self.state, snaps, frames = run_with_snapshots(
                 self.state, self.quantizer, self.cfg, self.force_impl,
                 self.quantize_forces, steps, num_chunks, num_bins,
-                dt=self._dyn_dt, softening_sq=self._dyn_soft_sq)
+                dt=self._dyn_dt, softening_sq=self._dyn_soft_sq,
+                bounds_every=self.bounds_every)
         remainder = num_ticks - steps * num_chunks
         if remainder > 0:
             self.step(remainder)

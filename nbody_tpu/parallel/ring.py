@@ -815,14 +815,16 @@ _SNAP_REPLICATED = metrics_lib.Snapshot(*([P()] * 10))
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "mesh", "quantize_forces",
                                     "steps_per_chunk", "num_chunks",
-                                    "num_bins", "schedule", "n_total"))
+                                    "num_bins", "schedule", "n_total",
+                                    "bounds_every"))
 def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
                                cfg: SimConfig, mesh: Mesh,
                                steps_per_chunk: int, num_chunks: int,
                                quantize_forces: bool = False,
                                num_bins: int = 20,
                                schedule: str = "sym",
-                               n_total: int | None = None):
+                               n_total: int | None = None,
+                               bounds_every: int = 1):
     """Sharded history run: the multi-chip ``models.direct.
     run_with_snapshots`` (reference: simulation.py:145-196,229-242).
 
@@ -847,27 +849,45 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
 
     force_local = (_ring_accelerations_sym_local if schedule == "sym"
                    else _ring_accelerations_local)
+    bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
 
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l, tick0):
-        def force(p):
-            return force_local(p, gm_l, ids_l, n_total, q, cfg,
-                               quantize_forces)
+        def bounds_of(p):
+            max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
+            return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
 
-        acc_l = force(pos_l)
+        if bounds_reuse:
+            def force(p, b):
+                return _ring_accelerations_sym_local(
+                    p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
+                    ext_bounds=b)
+
+            b0 = bounds_of(pos_l)
+        else:
+            def force(p, b):
+                return force_local(p, gm_l, ids_l, n_total, q, cfg,
+                                   quantize_forces)
+
+            b0 = (jnp.float32(0.0), jnp.float32(0.0))
+
+        acc_l = force(pos_l, b0)
         m_full = jax.lax.all_gather(m_l, AXIS, tiled=True)[:n_total]
 
         def one_step(carry, _):
-            p, v, a = carry
+            p, v, a, b, k = carry
             v = v + a * half_dt
             p = p + v * cfg.dt
-            a = force(p)
+            if bounds_reuse:
+                b = jax.lax.cond(k % bounds_every == 0, bounds_of,
+                                 lambda _: b, p)
+            a = force(p, b)
             v = v + a * half_dt
-            return (p, v, a), None
+            return (p, v, a, b, k + 1), None
 
         def chunk(carry, i):
             carry, _ = jax.lax.scan(one_step, carry, None,
                                     length=steps_per_chunk)
-            p, v, a = carry
+            p, v, a = carry[:3]
             pg = jax.lax.all_gather(p, AXIS, tiled=True)[:n_total]
             vg = jax.lax.all_gather(v, AXIS, tiled=True)[:n_total]
             ke = metrics_lib.kinetic_energy(vg, m_full)
@@ -878,9 +898,9 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
             return carry, (snap, pg)
 
         carry, (snaps, frames) = jax.lax.scan(
-            chunk, (pos_l, vel_l, acc_l),
+            chunk, (pos_l, vel_l, acc_l, b0, jnp.asarray(0, jnp.int32)),
             jnp.arange(num_chunks, dtype=jnp.int32))
-        p, v, a = carry
+        p, v, a = carry[:3]
         return p, v, a, snaps, frames
 
     fn = shard_map(

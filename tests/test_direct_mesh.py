@@ -138,3 +138,24 @@ def test_cli_mesh_flag(mesh8, tmp_path):
     for h in histories.values():
         assert np.isfinite(np.asarray(h.total_energy)).all()
     assert (tmp_path / "out").exists()
+
+
+def test_mesh_history_bounds_reuse(mesh8):
+    """bounds_every flows through run_with_history on both backends:
+    k=1 identical to default, k=3 within the short-horizon envelope."""
+    pos, vel, m = _ics(250)
+    hist = {}
+    for k in (1, 3):
+        sim = DirectSimulation(pos, vel, m, precision=Precision.INT4_SIM,
+                               mesh=mesh8, bounds_every=k)
+        snaps, _ = sim.run_with_history(8, snapshot_interval=4)
+        hist[k] = np.asarray(snaps.total)
+        sim_s = DirectSimulation(pos, vel, m,
+                                 precision=Precision.INT4_SIM,
+                                 force_impl="dense", bounds_every=k)
+        snaps_s, _ = sim_s.run_with_history(8, snapshot_interval=4)
+        np.testing.assert_allclose(np.asarray(snaps_s.total), hist[k],
+                                   rtol=5e-3,
+                                   atol=5e-3 * abs(hist[k][0]))
+    np.testing.assert_allclose(hist[3], hist[1], rtol=5e-3,
+                               atol=5e-3 * abs(hist[1][0]))
