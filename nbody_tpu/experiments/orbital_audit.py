@@ -65,6 +65,48 @@ TLE_FIXTURES = {
 }
 
 
+CELESTRAK_URL = ("https://celestrak.org/NORAD/elements/gp.php"
+                 "?GROUP=stations&FORMAT=tle")
+
+
+def fetch_tles(url: str = CELESTRAK_URL, timeout_s: float = 5.0) -> dict:
+    """Live CelesTrak fetch with the reference's cached-fallback pattern
+    (reference: orbital_audit.py:89-111, 337-340).
+
+    Returns ``(tles, source)`` where tles maps satellite name -> (l1, l2).
+    Any failure (this box is zero-egress, so here it ALWAYS falls back)
+    returns the cached fixtures — the same behavior the reference
+    exhibits offline. Fetched satellites matching a fixture name prefix
+    replace that fixture; others are ignored (the audit's physics spans
+    LEO/MEO/lageos regimes deliberately)."""
+    try:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=timeout_s) as resp:
+            text = resp.read().decode("utf-8", "replace")
+        lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+        fetched = {}
+        for i in range(0, len(lines) - 2, 3):
+            name, l1, l2 = lines[i], lines[i + 1], lines[i + 2]
+            if l1.startswith("1 ") and l2.startswith("2 "):
+                fetched[name] = (l1, l2)
+        updated = dict(TLE_FIXTURES)
+        hits = 0
+        for name in updated:
+            for fname, pair in fetched.items():
+                if fname.upper().startswith(name.upper().split("-")[0]):
+                    updated[name] = pair
+                    hits += 1
+                    break
+        if not hits:
+            return TLE_FIXTURES, "fetch succeeded but no matching sats; " \
+                                 "cached fixtures"
+        return updated, f"live CelesTrak ({hits} updated)"
+    except Exception as e:  # noqa: BLE001 — any network failure degrades
+        return TLE_FIXTURES, (f"cached fixtures (fetch failed: "
+                              f"{type(e).__name__})")
+
+
 def parse_tle(line1: str, line2: str) -> dict:
     """Extract mean elements from a TLE pair (subset needed here)."""
     inc = float(line2[8:16])
@@ -224,13 +266,14 @@ def propagate_rk4(pos0, vel0, dt: float, q: Quantizer, num_steps: int,
 # Audit sections
 # --------------------------------------------------------------------------
 
-def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0) -> dict:
+def tle_drift_audit(duration_hours: float = 6.0, dt: float = 10.0,
+                    tles: dict | None = None) -> dict:
     """Device RK4 vs reference ephemeris per satellite and precision
     (reference: orbital_audit.py:321-448)."""
     print("\n--- AUDIT 1: TLE vs DEVICE-PROPAGATION DRIFT ---")
     duration_s = duration_hours * 3600.0
     results = {}
-    for name, (l1, l2) in TLE_FIXTURES.items():
+    for name, (l1, l2) in (tles or TLE_FIXTURES).items():
         el = parse_tle(l1, l2)
         pos0, vel0 = elements_to_state(el)
         num_steps = int(duration_s / dt)
@@ -360,18 +403,26 @@ def flop_cost_audit() -> dict:
             "ratio": ratio, "simulator_prefers_heliocentric": True}
 
 
-def run_full_orbital_audit(quick: bool = False) -> dict:
+def run_full_orbital_audit(quick: bool = False, fetch: bool = False) -> dict:
     """(reference: orbital_audit.py:982-1079)"""
+    if fetch:
+        tles, tle_source = fetch_tles()
+        print(f"  TLE source: {tle_source}")
+    else:
+        tles, tle_source = TLE_FIXTURES, "cached fixtures (--fetch not set)"
     report = {
-        "tle_drift": tle_drift_audit(2.0 if quick else 6.0),
+        "tle_drift": tle_drift_audit(2.0 if quick else 6.0, tles=tles),
         "lense_thirring": lense_thirring_audit(),
         "telemetry_glitches": telemetry_glitch_audit(),
         "flop_cost": flop_cost_audit(),
-        "notes": ("network TLE fetch unavailable (zero-egress environment):"
-                  " cached fixtures used, matching the reference's offline "
-                  "fallback; oracle = vendored near-Earth SGP4 core "
-                  "(experiments/_sgp4.py) with Keplerian+J2-secular "
-                  "fallback for deep-space TLEs (period >= 225 min)"),
+        "tle_source": tle_source,
+        "notes": ("TLE source recorded per run (--fetch tries CelesTrak "
+                  "with the reference's cached-fallback pattern, "
+                  "orbital_audit.py:89-111; this box is zero-egress so "
+                  "the fallback is what runs here); oracle = vendored "
+                  "near-Earth SGP4 core (experiments/_sgp4.py) with "
+                  "Keplerian+J2-secular fallback for deep-space TLEs "
+                  "(period >= 225 min)"),
     }
     sig = np.mean([r["int4_signature"]
                    for r in report["tle_drift"].values()
@@ -388,13 +439,16 @@ def run_full_orbital_audit(quick: bool = False) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser(description="Orbital audit")
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--fetch", action="store_true",
+                   help="try a live CelesTrak TLE fetch before falling "
+                        "back to the cached fixtures (reference pattern)")
     p.add_argument("--output", type=str, default="output/orbital")
     args = p.parse_args(argv)
 
     print("\n" + "=" * 60)
     print("ORBITAL AUDIT: satellites vs the precision ladder")
     print("=" * 60)
-    report = run_full_orbital_audit(args.quick)
+    report = run_full_orbital_audit(args.quick, fetch=args.fetch)
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
     (out / "orbital_audit_report.json").write_text(

@@ -180,3 +180,40 @@ def test_omega_heatmap_and_constants(tmp_path):
                           "Min Precision", "Ghost Energy Rate",
                           "Max Density"}
     assert "Planck time" in table["Time Step (dt)"]["physical_equivalent"]
+
+
+def test_orbital_tle_fetch_fallback(monkeypatch):
+    """--fetch tries CelesTrak and degrades to the cached fixtures on any
+    failure (reference pattern: orbital_audit.py:89-111); a successful
+    fetch replaces matching fixtures."""
+    from nbody_tpu.experiments import orbital_audit as oa
+
+    # zero-egress: the real call must fall back, not raise
+    tles, src = oa.fetch_tles(timeout_s=0.2)
+    assert tles == oa.TLE_FIXTURES
+    assert "cached fixtures" in src
+
+    # mocked success path: ISS line replaced, others kept
+    iss_l1 = "1 25544U 98067A   24180.50000000  .00016717  00000-0  10270-3 0  9999"
+    iss_l2 = ("2 25544  51.6400 100.0000 0006317  69.9862 290.2000 "
+              "15.49550000430000")
+    payload = f"ISS (ZARYA)\n{iss_l1}\n{iss_l2}\n".encode()
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return payload
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen",
+                        lambda url, timeout: FakeResp())
+    tles, src = oa.fetch_tles()
+    assert tles["ISS"] == (iss_l1, iss_l2)
+    assert tles["LAGEOS-1"] == oa.TLE_FIXTURES["LAGEOS-1"]
+    assert "live CelesTrak" in src
