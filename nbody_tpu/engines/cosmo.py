@@ -776,18 +776,41 @@ class CosmologicalEngine:
 
     # -- checkpointing --------------------------------------------------
 
+    # Dataclass types inside history["exploits"] entries and the exploit
+    # engine's own per-metric history (json round-trip needs explicit
+    # reconstruction: json.dumps(default=str) would silently stringify).
+    _EXPLOIT_TYPES = {"relativity": glitch_lib.RelativityMetrics,
+                      "fluid": glitch_lib.FluidMetrics,
+                      "landauer": glitch_lib.LandauerMetrics,
+                      "frustum": glitch_lib.FrustumMetrics}
+
+    @classmethod
+    def _exploit_to_json(cls, entry: dict) -> dict:
+        return {k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v)
+                    else v) for k, v in entry.items()}
+
+    @classmethod
+    def _exploit_from_json(cls, entry: dict) -> dict:
+        return {k: (cls._EXPLOIT_TYPES[k](**v)
+                    if k in cls._EXPLOIT_TYPES and isinstance(v, dict)
+                    else v) for k, v in entry.items()}
+
     def _history_blob(self) -> dict:
-        """JSON form of the run histories + glitch-detector state, saved
-        with every checkpoint so a resumed run reproduces the FULL drift
-        curve and glitch log from its own state (the reference's headline
-        observable spans the whole run, simulation.py:170-196)."""
+        """JSON form of the run histories + glitch-detector + exploit-
+        engine state, saved with every checkpoint so a resumed run
+        reproduces the FULL drift curve, glitch log and exploit log from
+        its own state (the reference's headline observable spans the
+        whole run, simulation.py:170-196)."""
         d = self.glitch_detector
+        x = self.exploit_engine
         return {
             "history": {
                 **{k: v for k, v in self.history.items()
-                   if k != "glitches"},
+                   if k not in ("glitches", "exploits")},
                 "glitches": [dataclasses.asdict(g)
                              for g in self.history["glitches"]],
+                "exploits": [self._exploit_to_json(e)
+                             for e in self.history["exploits"]],
             },
             "detector": {
                 "energy_history": d.energy_history,
@@ -796,14 +819,36 @@ class CosmologicalEngine:
                 "entropy_history": d.entropy_history,
                 "events": [dataclasses.asdict(g) for g in d.events],
             },
+            "exploit_engine": {
+                "initial_bits": x.initial_bits,
+                "exploit_events": list(x.exploit_events),
+                "gamma_history": list(x.gamma_history),
+                "power_vs_gamma": [list(t) for t in x.power_vs_gamma],
+                "history": {k: [dataclasses.asdict(m) for m in v]
+                            for k, v in x.history.items()},
+                # probe frame state: the rotating observer and whether a
+                # previous-positions buffer existed. The buffer itself is
+                # NOT stored — probe_inputs records the post-chunk
+                # positions, so at a chunk boundary it equals the
+                # checkpointed state and restore rebuilds it from there.
+                "observer_pos": [float(v) for v in x.observer_pos],
+                "observer_dir": [float(v) for v in x.observer_dir],
+                "has_prev": x.prev_positions is not None,
+            },
         }
 
     def _restore_history_blob(self, blob: dict) -> None:
         h = blob.get("history")
         if h:
-            self.history = {k: list(v) for k, v in h.items()}
+            # merge: keys the running engine initializes but an older
+            # blob lacks must survive (a wholesale replace would KeyError
+            # on the next chunk's append)
+            for k, v in h.items():
+                self.history[k] = list(v)
             self.history["glitches"] = [
                 glitch_lib.GlitchEvent(**g) for g in h.get("glitches", [])]
+            self.history["exploits"] = [
+                self._exploit_from_json(e) for e in h.get("exploits", [])]
         det = blob.get("detector")
         if det:
             d = self.glitch_detector
@@ -815,6 +860,37 @@ class CosmologicalEngine:
             d.entropy_history = [float(x) for x in det["entropy_history"]]
             d.events = [glitch_lib.GlitchEvent(**g)
                         for g in det.get("events", [])]
+        eng = blob.get("exploit_engine")
+        if eng:
+            x = self.exploit_engine
+            x.initial_bits = int(eng["initial_bits"])
+            x.exploit_events = [str(s) for s in eng["exploit_events"]]
+            x.gamma_history = [float(g) for g in eng["gamma_history"]]
+            x.power_vs_gamma = [tuple(t) for t in eng["power_vs_gamma"]]
+            x.history = {k: [self._EXPLOIT_TYPES[k](**m) for m in v]
+                         for k, v in eng["history"].items()}
+            if "observer_pos" in eng:
+                x.observer_pos = np.asarray(eng["observer_pos"],
+                                            np.float32)
+                x.observer_dir = np.asarray(eng["observer_dir"],
+                                            np.float32)
+            if eng.get("has_prev"):
+                # prev == post-chunk positions == the checkpointed state;
+                # mesh engines keep it padded to the shard boundary (the
+                # probe bundle masks phantom rows by n_valid)
+                prev = self._trimmed_state().positions
+                if self.mesh is not None:
+                    n_shards = int(np.prod(list(self.mesh.shape.values())))
+                    pad = (-prev.shape[0]) % n_shards
+                    if pad:
+                        prev = jnp.concatenate(
+                            [prev, jnp.zeros((pad, prev.shape[1]),
+                                             prev.dtype)], axis=0)
+                    # restored arrays live on one device; the probe jit
+                    # runs under the mesh context
+                    prev = jax.device_put(prev, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+                x.prev_positions = prev
 
     def save_checkpoint(self, manager) -> int:
         """Write the CosmoState at the current tick (utils.checkpoint).

@@ -93,9 +93,13 @@ def fetch_tles(url: str = CELESTRAK_URL, timeout_s: float = 5.0) -> dict:
         updated = dict(TLE_FIXTURES)
         hits = 0
         for name in updated:
-            for fname, pair in fetched.items():
-                if fname.upper().startswith(name.upper().split("-")[0]):
-                    updated[name] = pair
+            # match on the FULL fixture name (deterministic order): "ISS"
+            # matches "ISS (ZARYA)"; "GPS-IIR-2" only a GPS-IIR-2 entry —
+            # an unmatched fixture keeps its cached TLE rather than
+            # silently adopting a different satellite's elements
+            for fname in sorted(fetched):
+                if fname.upper().startswith(name.upper()):
+                    updated[name] = fetched[fname]
                     hits += 1
                     break
         if not hits:

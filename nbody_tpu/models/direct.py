@@ -121,37 +121,24 @@ def leapfrog_step_baseline(state: BaselineState, cfg: SimConfig) -> BaselineStat
 _BOUNDS_REUSE_IMPLS = ("dense", "tiled", "pallas")
 
 
-@functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
-                                             "quantize_forces", "num_steps",
-                                             "bounds_every"))
-def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
-              impl: str, quantize_forces: bool, num_steps: int,
-              dt=None, softening_sq=None,
-              bounds_every: int = 1) -> ParticleState:
-    """num_steps leapfrog steps as one fused on-device scan. Optional
-    traced dt/softening_sq: one compiled program serves a whole sweep.
+def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
+                       quantize_forces: bool, n: int, dim: int,
+                       bounds_every: int, dt=None, softening_sq=None):
+    """Shared scaffolding for the int-sim bounds-reuse scan: returns
+    ``(body, carry0)`` where carry = (ParticleState, bounds, step_idx).
 
-    ``bounds_every=k`` (int-sim modes) recomputes the tensor-global
-    log-grid bounds every k-th step instead of every force evaluation
-    (the max pass is ~20% of the int4 step at N=131k). k=1 (default) is
-    exact reference semantics (quantization.py:112-121); see
-    docs/PERF.md for the k>1 parity analysis before enabling."""
-    n, dim = state.positions.shape
+    The first iteration (k=0) recomputes the bounds on the freshly
+    drifted positions, so the carry seeds with DUMMY bounds — computing
+    real ones up front would add exactly the O(N^2) max pass this path
+    exists to amortise."""
     force = _force_fn(impl, n, dim)
-    reuse = q.is_int and bounds_every > 1
-    if not reuse:
-        def body(s, _):
-            return leapfrog_step(s, q, cfg, force, quantize_forces,
-                                 dt=dt, softening_sq=softening_sq), None
-
-        state, _ = jax.lax.scan(body, state, None, length=num_steps)
-        return state
-
     resolved = _resolve_impl(impl, n, dim)
     if resolved not in _BOUNDS_REUSE_IMPLS:
         raise ValueError(f"bounds_every > 1 is not supported for "
                          f"force impl '{resolved}' (no external-bounds "
                          f"hook); use one of {_BOUNDS_REUSE_IMPLS}")
+
+    from nbody_tpu.ops.precision import dist_sq_log_bounds
 
     def bounds_of(p):
         if resolved == "pallas":
@@ -161,8 +148,6 @@ def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
         else:
             max_d2 = forces.max_pairwise_dist_sq(
                 p, cfg, softening_sq=softening_sq)
-        from nbody_tpu.ops.precision import dist_sq_log_bounds
-
         return dist_sq_log_bounds(
             q, max_d2,
             cfg.softening_sq if softening_sq is None else softening_sq)
@@ -182,10 +167,44 @@ def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
         s = ParticleState(pos, vel, s.masses, acc, s.tick + 1)
         return (s, b, k + 1), None
 
-    b0 = bounds_of(state.positions)
-    (state, _, _), _ = jax.lax.scan(
-        body, (state, b0, jnp.asarray(0, jnp.int32)), None,
-        length=num_steps)
+    def carry0(state):
+        z = jnp.float32(0.0)
+        return (state, (z, z), jnp.asarray(0, jnp.int32))
+
+    return body, carry0
+
+
+@functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
+                                             "quantize_forces", "num_steps",
+                                             "bounds_every"))
+def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
+              impl: str, quantize_forces: bool, num_steps: int,
+              dt=None, softening_sq=None,
+              bounds_every: int = 1) -> ParticleState:
+    """num_steps leapfrog steps as one fused on-device scan. Optional
+    traced dt/softening_sq: one compiled program serves a whole sweep.
+
+    ``bounds_every=k`` (int-sim modes) recomputes the tensor-global
+    log-grid bounds every k-th step instead of every force evaluation
+    (the max pass is ~20% of the int4 step at N=131k). k=1 (default) is
+    exact reference semantics (quantization.py:112-121); see
+    docs/PERF.md for the k>1 parity analysis before enabling."""
+    n, dim = state.positions.shape
+    if q.is_int and bounds_every > 1:
+        body, carry0 = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
+                                          n, dim, bounds_every, dt,
+                                          softening_sq)
+        (state, _, _), _ = jax.lax.scan(body, carry0(state), None,
+                                        length=num_steps)
+        return state
+
+    force = _force_fn(impl, n, dim)
+
+    def body(s, _):
+        return leapfrog_step(s, q, cfg, force, quantize_forces,
+                             dt=dt, softening_sq=softening_sq), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
     return state
 
 
@@ -214,48 +233,14 @@ def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
     dt/softening_sq override the static cfg (dynamic-sweep mode);
     ``bounds_every`` follows run_steps."""
     n, dim = state.positions.shape
-    force = _force_fn(impl, n, dim)
-    reuse = q.is_int and bounds_every > 1
-    if reuse:
-        resolved = _resolve_impl(impl, n, dim)
-        if resolved not in _BOUNDS_REUSE_IMPLS:
-            raise ValueError(f"bounds_every > 1 is not supported for "
-                             f"force impl '{resolved}'")
-        dt_ = cfg.dt if dt is None else dt
-        half_dt = dt_ * 0.5
-
-        def bounds_of(p):
-            if resolved == "pallas":
-                from nbody_tpu.ops.pallas_nbody import pallas_max_dist_sq
-
-                max_d2 = pallas_max_dist_sq(p, cfg,
-                                            softening_sq=softening_sq)
-            else:
-                max_d2 = forces.max_pairwise_dist_sq(
-                    p, cfg, softening_sq=softening_sq)
-            from nbody_tpu.ops.precision import dist_sq_log_bounds
-
-            return dist_sq_log_bounds(
-                q, max_d2,
-                cfg.softening_sq if softening_sq is None else softening_sq)
-
-        def body(carry, _):
-            s, b, k = carry
-            vel = s.velocities + s.accelerations * half_dt
-            pos = s.positions + vel * dt_
-            b = jax.lax.cond(k % bounds_every == 0, bounds_of,
-                             lambda _: b, pos)
-            acc = force(pos, s.masses, q, cfg,
-                        quantize_forces=quantize_forces,
-                        softening_sq=softening_sq, log_lo=b[0],
-                        log_hi=b[1])
-            vel = vel + acc * half_dt
-            return (ParticleState(pos, vel, s.masses, acc, s.tick + 1),
-                    b, k + 1), None
-
-        carry0 = (state, bounds_of(state.positions),
-                  jnp.asarray(0, jnp.int32))
+    if q.is_int and bounds_every > 1:
+        body, carry0_fn = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
+                                             n, dim, bounds_every, dt,
+                                             softening_sq)
+        carry0 = carry0_fn(state)
     else:
+        force = _force_fn(impl, n, dim)
+
         def body(carry, _):
             return (leapfrog_step(carry[0], q, cfg, force, quantize_forces,
                                   dt=dt, softening_sq=softening_sq),
@@ -363,6 +348,18 @@ class DirectSimulation:
         if mesh is not None and dynamic_params:
             raise ValueError("dynamic_params is not supported with mesh= "
                              "(the ring runners compile static dt/softening)")
+        if mesh is not None and force_impl != "auto":
+            # the ring runners pick their own tile kernels; accepting the
+            # flag silently would run a different config than the one the
+            # user named
+            raise ValueError("force_impl is single-device only; mesh runs "
+                             "use the ring tile ladder (pass "
+                             "force_impl='auto' with mesh=)")
+        if bounds_every > 1 and mesh is not None and schedule != "sym":
+            raise ValueError("bounds_every > 1 needs schedule='sym' on a "
+                             "mesh (the rows schedule has no external-"
+                             "bounds hook); it would otherwise be "
+                             "silently ignored")
 
         if self.is_baseline:
             self.state = make_baseline_state(positions, velocities, masses)

@@ -483,6 +483,59 @@ def _pad_to_shards(x, n_shards, fill=0.0):
     return x
 
 
+def _make_ring_force(q: Quantizer, cfg: SimConfig, gm_l, ids_l, n_total,
+                     quantize_forces: bool, schedule: str,
+                     bounds_reuse: bool, pos_l):
+    """Per-device (force, bounds_of, b0) for the sharded leapfrog scans.
+
+    ``force(p, b)`` ignores ``b`` unless bounds-reuse is active, where
+    ``b`` is the externally owned log-grid bounds. The ring runners need
+    a REAL b0 (unlike the single-device scans): the entry force at the
+    pre-drift positions already consumes it."""
+    def bounds_of(p):
+        max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
+        return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
+
+    if bounds_reuse:
+        def force(p, b):
+            return _ring_accelerations_sym_local(
+                p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
+                ext_bounds=b)
+
+        b0 = bounds_of(pos_l)
+    else:
+        force_local = (_ring_accelerations_sym_local if schedule == "sym"
+                       else _ring_accelerations_local)
+
+        def force(p, b):
+            return force_local(p, gm_l, ids_l, n_total, q, cfg,
+                               quantize_forces)
+
+        b0 = (jnp.float32(0.0), jnp.float32(0.0))  # unused carry slot
+    return force, bounds_of, b0
+
+
+def _make_ring_step(cfg: SimConfig, force, bounds_of, bounds_reuse: bool,
+                    bounds_every: int):
+    """KDK scan body over the sharded carry (p, v, a, bounds, step_idx)."""
+    half_dt = cfg.dt * 0.5
+
+    def one_step(carry, _):
+        p, v, a, b, k = carry
+        v = v + a * half_dt
+        p = p + v * cfg.dt
+        if bounds_reuse:
+            # amortised global-bounds pass: recompute every k-th step on
+            # the freshly drifted positions, reuse in between
+            b = jax.lax.cond(k % bounds_every == 0, bounds_of,
+                             lambda _: b, p)
+        a = force(p, b)
+        v = v + a * half_dt
+        return (p, v, a, b, k + 1), None
+
+    return one_step
+
+
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
@@ -531,46 +584,15 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
 
     pspec = P(AXIS)
-    half_dt = cfg.dt * 0.5
-
-    force_local = (_ring_accelerations_sym_local if schedule == "sym"
-                   else _ring_accelerations_local)
-
     bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
 
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
-        def bounds_of(p):
-            max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
-            return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
-
-        if bounds_reuse:
-            def force(p, b):
-                return _ring_accelerations_sym_local(
-                    p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
-                    ext_bounds=b)
-
-            b0 = bounds_of(pos_l)
-        else:
-            def force(p, b):
-                return force_local(p, gm_l, ids_l, n_total, q, cfg,
-                                   quantize_forces)
-
-            b0 = (jnp.float32(0.0), jnp.float32(0.0))  # unused carry slot
-
+        force, bounds_of, b0 = _make_ring_force(
+            q, cfg, gm_l, ids_l, n_total, quantize_forces, schedule,
+            bounds_reuse, pos_l)
         acc_l = force(pos_l, b0)
-
-        def one_step(carry, _):
-            p, v, a, b, k = carry
-            v = v + a * half_dt
-            p = p + v * cfg.dt
-            if bounds_reuse:
-                # amortised global-bounds pass: recompute every k-th step
-                # on the freshly drifted positions, reuse in between
-                b = jax.lax.cond(k % bounds_every == 0, bounds_of,
-                                 lambda _: b, p)
-            a = force(p, b)
-            v = v + a * half_dt
-            return (p, v, a, b, k + 1), None
+        one_step = _make_ring_step(cfg, force, bounds_of, bounds_reuse,
+                                   bounds_every)
 
         def chunk(carry, _):
             carry, _ = jax.lax.scan(one_step, carry, None,
@@ -845,44 +867,16 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
     gmass = cfg.G * masses
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
     pspec = P(AXIS)
-    half_dt = cfg.dt * 0.5
-
-    force_local = (_ring_accelerations_sym_local if schedule == "sym"
-                   else _ring_accelerations_local)
     bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
 
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l, tick0):
-        def bounds_of(p):
-            max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
-            return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
-
-        if bounds_reuse:
-            def force(p, b):
-                return _ring_accelerations_sym_local(
-                    p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
-                    ext_bounds=b)
-
-            b0 = bounds_of(pos_l)
-        else:
-            def force(p, b):
-                return force_local(p, gm_l, ids_l, n_total, q, cfg,
-                                   quantize_forces)
-
-            b0 = (jnp.float32(0.0), jnp.float32(0.0))
-
+        force, bounds_of, b0 = _make_ring_force(
+            q, cfg, gm_l, ids_l, n_total, quantize_forces, schedule,
+            bounds_reuse, pos_l)
         acc_l = force(pos_l, b0)
         m_full = jax.lax.all_gather(m_l, AXIS, tiled=True)[:n_total]
-
-        def one_step(carry, _):
-            p, v, a, b, k = carry
-            v = v + a * half_dt
-            p = p + v * cfg.dt
-            if bounds_reuse:
-                b = jax.lax.cond(k % bounds_every == 0, bounds_of,
-                                 lambda _: b, p)
-            a = force(p, b)
-            v = v + a * half_dt
-            return (p, v, a, b, k + 1), None
+        one_step = _make_ring_step(cfg, force, bounds_of, bounds_reuse,
+                                   bounds_every)
 
         def chunk(carry, i):
             carry, _ = jax.lax.scan(one_step, carry, None,

@@ -159,3 +159,15 @@ def test_mesh_history_bounds_reuse(mesh8):
                                    atol=5e-3 * abs(hist[k][0]))
     np.testing.assert_allclose(hist[3], hist[1], rtol=5e-3,
                                atol=5e-3 * abs(hist[1][0]))
+
+
+def test_mesh_rejects_inert_knobs(mesh8):
+    """Knobs that cannot reach the mesh runners refuse loudly instead of
+    silently running a different configuration than the one named."""
+    pos, vel, m = _ics(64)
+    with pytest.raises(ValueError, match="force_impl"):
+        DirectSimulation(pos, vel, m, precision=Precision.FLOAT32,
+                         mesh=mesh8, force_impl="dense")
+    with pytest.raises(ValueError, match="bounds_every"):
+        DirectSimulation(pos, vel, m, precision=Precision.INT4_SIM,
+                         mesh=mesh8, schedule="rows", bounds_every=4)

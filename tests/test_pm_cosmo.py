@@ -385,9 +385,21 @@ def test_checkpoint_resume_reproduces_full_history(tmp_path):
                                       np.asarray(b.history[key]), err_msg=key)
     assert [g.__dict__ for g in a.history["glitches"]] == \
         [g.__dict__ for g in b.history["glitches"]]
-    assert a.history["exploits"][-1].keys() == \
-        b.history["exploits"][-1].keys()
+    # exploit entries round-trip as real metric dataclasses, not strings
+    import dataclasses as dc
+    for ea, eb in zip(a.history["exploits"], b.history["exploits"]):
+        assert ea.keys() == eb.keys()
+        for k in ea:
+            va, vb = ea[k], eb[k]
+            if dc.is_dataclass(va):
+                assert type(va) is type(vb), k
+                assert dc.asdict(va) == dc.asdict(vb), k
+            else:
+                assert va == vb, k
     # detector threshold state restored too (no bogus resume-edge events)
     assert a.glitch_detector.energy_history == \
         b.glitch_detector.energy_history
     assert len(a.glitch_detector.events) == len(b.glitch_detector.events)
+    # exploit-engine state continuity (Landauer baseline, gamma history)
+    assert a.exploit_engine.initial_bits == b.exploit_engine.initial_bits
+    assert a.exploit_engine.gamma_history == b.exploit_engine.gamma_history

@@ -90,7 +90,7 @@ def probe() -> dict:
     # --- sysfs / devfs accelerator nodes ----------------------------------
     nodes = (glob.glob("/dev/accel*") + glob.glob("/dev/vfio/*")
              + glob.glob("/sys/class/accel/*")
-             + glob.glob("/sys/devices/**/tpu*", recursive=False))
+             + glob.glob("/sys/devices/**/tpu*", recursive=True))
     ch["sysfs_nodes"] = {
         "status": "MEASURED" if nodes else
         "UNAVAILABLE (no local accelerator device nodes — remote chip)",
