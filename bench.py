@@ -47,16 +47,22 @@ def main():
 
     pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(42), num_stars=n)
     state = make_state(pos, vel, m)
+    # Disk-galaxy masses are all 1.0: the sym kernel's equal-mass
+    # shared-product fast path applies (+24% f32; docs/PERF.md).
+    m_host = np.asarray(m)
+    uni = bool((m_host == m_host[0]).all())
 
     def measure(mode, quantize_forces):
         q = Quantizer(mode)
         t0 = time.time()
-        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS)
+        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
+                        uniform_gm=uni)
         np.asarray(out.positions[:1])  # host-fetch fence (not block_until_ready)
         log(f"{mode.value}: warmup (compile + {STEPS} steps): "
             f"{time.time() - t0:.1f}s")
         t0 = time.time()
-        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS)
+        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
+                        uniform_gm=uni)
         np.asarray(out.positions[:1])
         wall = time.time() - t0
         pairs = n * n * STEPS / wall
@@ -74,11 +80,13 @@ def main():
     def measure_bounds4():
         q = Quantizer(Precision.INT4_SIM)
         t0 = time.time()
-        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4)
+        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4,
+                        uniform_gm=uni)
         np.asarray(out.positions[:1])
         log(f"int4 bounds_every=4: warmup {time.time() - t0:.1f}s")
         t0 = time.time()
-        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4)
+        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4,
+                        uniform_gm=uni)
         np.asarray(out.positions[:1])
         wall = time.time() - t0
         pairs = n * n * STEPS / wall
@@ -111,12 +119,12 @@ def main():
             q = Quantizer(mode)
             t0 = time.time()
             out = run_steps(state_big, q, cfg, "auto", quantize_forces,
-                            steps_big)
+                            steps_big, uniform_gm=True)
             np.asarray(out.positions[:1])
             log(f"{mode.value}: N={n_big} warmup {time.time() - t0:.1f}s")
             t0 = time.time()
             out = run_steps(state_big, q, cfg, "auto", quantize_forces,
-                            steps_big)
+                            steps_big, uniform_gm=True)
             np.asarray(out.positions[:1])
             wall = time.time() - t0
             pairs = n_big * n_big * steps_big / wall

@@ -52,11 +52,15 @@ def _resolve_impl(impl: str, n: int, dim: int = 2) -> str:
     return impl
 
 
-def _force_fn(impl: str, n: int, dim: int = 2):
+def _force_fn(impl: str, n: int, dim: int = 2, uniform_gm: bool = False):
     """Pick a force implementation. 'auto' = the Pallas kernel on TPU
     (symmetric while its grid-resident arrays fit VMEM, the HBM-streaming
     row kernel beyond), dense at small N / tiled at large N elsewhere
-    (Pallas interpret mode on CPU is debug-speed only)."""
+    (Pallas interpret mode on CPU is debug-speed only).
+
+    ``uniform_gm=True`` asserts all masses are equal (detected eagerly by
+    DirectSimulation on its concrete masses): the sym kernels then take
+    their shared-product fast path (+24% f32 at N=131k, docs/PERF.md)."""
     impl = _resolve_impl(impl, n, dim)
     if impl == "dense":
         return forces.dense_accelerations
@@ -66,6 +70,9 @@ def _force_fn(impl: str, n: int, dim: int = 2):
         # Newton's-third-law kernel: each unordered pair evaluated once
         # (~1.45x over the row-sweep kernel on chip; see docs/PERF.md).
         from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+        if uniform_gm:
+            return functools.partial(pallas_accelerations_sym,
+                                     uniform_gm=True)
         return pallas_accelerations_sym
     if impl == "pallas_rows":
         # Row-sweep variant (every ordered pair): kept for the ring tile
@@ -84,6 +91,9 @@ def _force_fn(impl: str, n: int, dim: int = 2):
         # dynamic-softening sweeps / zero softening.
         from nbody_tpu.ops.pallas_nbody import (
             pallas_accelerations_sym_chunked)
+        if uniform_gm:
+            return functools.partial(pallas_accelerations_sym_chunked,
+                                     uniform_gm=True)
         return pallas_accelerations_sym_chunked
     raise ValueError(f"unknown force impl: {impl}")
 
@@ -123,7 +133,8 @@ _BOUNDS_REUSE_IMPLS = ("dense", "tiled", "pallas")
 
 def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
                        quantize_forces: bool, n: int, dim: int,
-                       bounds_every: int, dt=None, softening_sq=None):
+                       bounds_every: int, dt=None, softening_sq=None,
+                       uniform_gm: bool = False):
     """Shared scaffolding for the int-sim bounds-reuse scan: returns
     ``(body, carry0)`` where carry = (ParticleState, bounds, step_idx).
 
@@ -131,7 +142,7 @@ def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
     drifted positions, so the carry seeds with DUMMY bounds — computing
     real ones up front would add exactly the O(N^2) max pass this path
     exists to amortise."""
-    force = _force_fn(impl, n, dim)
+    force = _force_fn(impl, n, dim, uniform_gm)
     resolved = _resolve_impl(impl, n, dim)
     if resolved not in _BOUNDS_REUSE_IMPLS:
         raise ValueError(f"bounds_every > 1 is not supported for "
@@ -176,11 +187,12 @@ def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "num_steps",
-                                             "bounds_every"))
+                                             "bounds_every", "uniform_gm"))
 def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
               impl: str, quantize_forces: bool, num_steps: int,
               dt=None, softening_sq=None,
-              bounds_every: int = 1) -> ParticleState:
+              bounds_every: int = 1,
+              uniform_gm: bool = False) -> ParticleState:
     """num_steps leapfrog steps as one fused on-device scan. Optional
     traced dt/softening_sq: one compiled program serves a whole sweep.
 
@@ -188,17 +200,19 @@ def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
     log-grid bounds every k-th step instead of every force evaluation
     (the max pass is ~20% of the int4 step at N=131k). k=1 (default) is
     exact reference semantics (quantization.py:112-121); see
-    docs/PERF.md for the k>1 parity analysis before enabling."""
+    docs/PERF.md for the k>1 parity analysis before enabling.
+
+    ``uniform_gm=True`` asserts equal masses (see _force_fn)."""
     n, dim = state.positions.shape
     if q.is_int and bounds_every > 1:
         body, carry0 = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
                                           n, dim, bounds_every, dt,
-                                          softening_sq)
+                                          softening_sq, uniform_gm)
         (state, _, _), _ = jax.lax.scan(body, carry0(state), None,
                                         length=num_steps)
         return state
 
-    force = _force_fn(impl, n, dim)
+    force = _force_fn(impl, n, dim, uniform_gm)
 
     def body(s, _):
         return leapfrog_step(s, q, cfg, force, quantize_forces,
@@ -221,12 +235,12 @@ def run_steps_baseline(state: BaselineState, cfg: SimConfig,
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "steps_per_chunk",
                                              "num_chunks", "num_bins",
-                                             "bounds_every"))
+                                             "bounds_every", "uniform_gm"))
 def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
                        impl: str, quantize_forces: bool,
                        steps_per_chunk: int, num_chunks: int,
                        num_bins: int = 20, dt=None, softening_sq=None,
-                       bounds_every: int = 1):
+                       bounds_every: int = 1, uniform_gm: bool = False):
     """Run num_chunks * steps_per_chunk ticks; emit a fused metrics Snapshot
     and a position frame after each chunk. Entirely on-device: one jitted
     program, outputs stacked along a leading chunk axis. Optional traced
@@ -236,10 +250,10 @@ def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
     if q.is_int and bounds_every > 1:
         body, carry0_fn = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
                                              n, dim, bounds_every, dt,
-                                             softening_sq)
+                                             softening_sq, uniform_gm)
         carry0 = carry0_fn(state)
     else:
-        force = _force_fn(impl, n, dim)
+        force = _force_fn(impl, n, dim, uniform_gm)
 
         def body(carry, _):
             return (leapfrog_step(carry[0], q, cfg, force, quantize_forces,
@@ -345,6 +359,13 @@ class DirectSimulation:
         self.schedule = schedule
         self.bounds_every = bounds_every
         self._n_total = int(jnp.shape(positions)[0])
+        # Equal-mass detection (one host fetch at init): unlocks the sym
+        # kernel's shared-product fast path (+24% f32 at N=131k). Single-
+        # device only — the ring runners pad with zero-mass phantom rows.
+        import numpy as _np
+        _m = _np.asarray(masses)
+        self._uniform_gm = bool(mesh is None and _m.size > 0
+                                and (_m == _m.flat[0]).all())
         if mesh is not None and dynamic_params:
             raise ValueError("dynamic_params is not supported with mesh= "
                              "(the ring runners compile static dt/softening)")
@@ -374,7 +395,8 @@ class DirectSimulation:
             self.state = make_state(positions, velocities, masses)
             if mesh is None:
                 force = _force_fn(force_impl, self.state.num_particles,
-                                  self.state.positions.shape[1])
+                                  self.state.positions.shape[1],
+                                  self._uniform_gm)
                 acc = force(self.state.positions, self.state.masses,
                             self.quantizer, cfg,
                             quantize_forces=self.quantize_forces,
@@ -434,7 +456,8 @@ class DirectSimulation:
                                    self.force_impl, self.quantize_forces,
                                    num_steps, dt=self._dyn_dt,
                                    softening_sq=self._dyn_soft_sq,
-                                   bounds_every=self.bounds_every)
+                                   bounds_every=self.bounds_every,
+                                   uniform_gm=self._uniform_gm)
 
     def run(self, num_ticks: int, callback: Optional[Callable] = None,
             callback_interval: int = 100):
@@ -484,7 +507,8 @@ class DirectSimulation:
                 self.state, self.quantizer, self.cfg, self.force_impl,
                 self.quantize_forces, steps, num_chunks, num_bins,
                 dt=self._dyn_dt, softening_sq=self._dyn_soft_sq,
-                bounds_every=self.bounds_every)
+                bounds_every=self.bounds_every,
+                uniform_gm=self._uniform_gm)
         remainder = num_ticks - steps * num_chunks
         if remainder > 0:
             self.step(remainder)

@@ -163,7 +163,8 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
 
 def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
                       out_col_ref, *, q: Quantizer, self_masked: bool,
-                      dim: int, block_i: int, block_j: int, n_pad: int):
+                      dim: int, block_i: int, block_j: int, n_pad: int,
+                      uniform_gm: bool = False):
     """Newton's-third-law force kernel: each cross-super-chunk unordered
     pair computed once.
 
@@ -185,6 +186,13 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
     src_ref:   (D+1, N_pad) — coords + G*m_j row (lane-major)
     out_row_ref: (BI, D) this block's direct sums
     out_col_ref: (D, N_pad) reaction sums, shared across grid steps
+
+    ``uniform_gm=True`` (all G*m equal, N unpadded — asserted by the
+    wrapper): the per-pair direct (gm_j*w) and reaction (gm_i*w) products
+    collapse into one shared t_d = w*diff_d; gm scales ONCE in the
+    wrapper's epilogue. 14 vector ops/pair instead of 18 — measured +24%
+    f32 / +12% int4 at N=131k (docs/PERF.md). Inputs then carry no gm
+    row/column: pos_i_ref is (BI, D), src_ref (D, N_pad).
     """
     pid = pl.program_id(0)
     i0 = pid * block_i
@@ -196,7 +204,7 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         out_col_ref[...] = jnp.zeros_like(out_col_ref)
 
     xi = [pos_i_ref[:, d:d + 1] for d in range(dim)]
-    gm_i = pos_i_ref[:, dim:dim + 1]  # (BI, 1)
+    gm_i = None if uniform_gm else pos_i_ref[:, dim:dim + 1]  # (BI, 1)
 
     log_lo = bounds_ref[0, 0]
     log_hi = bounds_ref[0, 1]
@@ -224,7 +232,8 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
 
     def tile(j0):
         xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
-        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]  # (1, BJ)
+        gm_j = (None if uniform_gm
+                else src_ref[dim:dim + 1, pl.ds(j0, block_j)])  # (1, BJ)
         diffs = [xj[d] - xi[d] for d in range(dim)]
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
@@ -234,7 +243,7 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
     # Own super-chunk: full compute, row sums only (both pair directions
     # of intra-super-chunk pairs live in receiver-row tiles).
     _, gm_j, diffs, w = tile(sj * block_j)
-    factor = gm_j * w
+    factor = w if uniform_gm else gm_j * w
     if self_masked:
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
         c_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
@@ -246,6 +255,16 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
     def j_chunk(jc, acc):
         j0 = jc * block_j
         _, gm_j, diffs, w = tile(j0)
+        if uniform_gm:
+            # Shared t_d: the direct row sum and the reaction column sum
+            # reduce the SAME product (gm scales in the epilogue).
+            new = []
+            for d in range(dim):
+                t = w * diffs[d]
+                col = -jnp.sum(t, axis=0, keepdims=True)  # (1, BJ)
+                out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
+                new.append(acc[d] + jnp.sum(t, axis=1, keepdims=True))
+            return tuple(new)
         fr = gm_j * w                       # direct: on this block's rows
         fc = gm_i * w                       # reaction: on chunk J's cols
         for d in range(dim):
@@ -263,14 +282,15 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
                                              "block", "block_j",
-                                             "interpret"))
+                                             "interpret", "uniform_gm"))
 def pallas_accelerations_sym(positions, masses, q: Quantizer,
                              cfg: SimConfig, quantize_forces: bool = True,
                              block: int | None = None,
                              block_j: int | None = None,
                              interpret: bool | None = None,
                              softening_sq=None,
-                             log_lo=None, log_hi=None, gm=None):
+                             log_lo=None, log_hi=None, gm=None,
+                             uniform_gm: bool = False):
     """Symmetric-pair variant of pallas_accelerations: ~2x fewer pair
     evaluations via Newton's third law. Same semantics (the reference
     evaluates the full (N, N) tensor, simulation.py:83-112; this computes
@@ -289,7 +309,16 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
     (the half-ring schedule owns the global ring-wide bounds and uses
     this kernel for the diagonal shard block); ``gm`` optionally supplies
-    precomputed G*m in place of ``masses``."""
+    precomputed G*m in place of ``masses``.
+
+    ``uniform_gm=True`` is a caller-asserted fast path for equal masses
+    (all G*m identical): the kernel reduces one shared w*diff product per
+    dim and the scalar G*m[0] scales the result in the epilogue — +24%
+    f32 / +12% int4 at N=131k (docs/PERF.md). The assertion is the
+    CALLER's (DirectSimulation/run_steps auto-detect on concrete masses);
+    passing it with unequal masses silently uses m[0] for every pair.
+    Automatically degrades to the general path when N needs padding
+    (padded rows rely on gm=0 to stay inert)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dynamic_soft = softening_sq is not None
@@ -309,16 +338,25 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     else:
         block_j = _round_up(block_j, quantum)
     n_pad = _round_up(max(n, block_j), block_j)
+    if n_pad != n:
+        # Padded rows depend on gm=0 to stay inert; the uniform path has
+        # no per-pair gm factor, so it only serves unpadded shapes.
+        uniform_gm = False
 
     positions = positions.astype(jnp.float32)
     if gm is None:
         gm = cfg.G * masses.astype(jnp.float32)
     pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
-    gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
-    # Receiver blocks carry their G*m as an extra sublane-major column;
-    # sources stay lane-major with the G*m row.
-    recv = jnp.concatenate([pos_pad, gm_pad[:, None]], axis=1)
-    src = jnp.concatenate([pos_pad.T, gm_pad[None, :]], axis=0)
+    if uniform_gm:
+        # No gm row/column: the scalar G*m[0] scales in the epilogue.
+        recv = pos_pad
+        src = pos_pad.T
+    else:
+        gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
+        # Receiver blocks carry their G*m as an extra sublane-major
+        # column; sources stay lane-major with the G*m row.
+        recv = jnp.concatenate([pos_pad, gm_pad[:, None]], axis=1)
+        src = jnp.concatenate([pos_pad.T, gm_pad[None, :]], axis=0)
 
     soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
@@ -337,8 +375,9 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     kernel = functools.partial(
         _force_kernel_sym, q=q,
         self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
-        block_i=block, block_j=block_j, n_pad=n_pad)
+        block_i=block, block_j=block_j, n_pad=n_pad, uniform_gm=uniform_gm)
 
+    gm_rows = 0 if uniform_gm else 1
     grid = (n_pad // block,)
     rows, cols = pl.pallas_call(
         kernel,
@@ -346,9 +385,9 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, dim + 1), lambda i: (i, 0),
+            pl.BlockSpec((block, dim + gm_rows), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim + 1, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((dim + gm_rows, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -372,6 +411,8 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     )(bounds, recv, src)
 
     acc = (rows + cols.T)[:n]
+    if uniform_gm:
+        acc = acc * gm[0]
     if quantize_forces and q.is_int:
         acc = quantize_force(acc, q)
     return acc
@@ -588,13 +629,15 @@ def pallas_accelerations_streamed(positions, masses, q: Quantizer,
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
-                                             "chunk", "interpret"))
+                                             "chunk", "interpret",
+                                             "uniform_gm"))
 def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
                                      cfg: SimConfig,
                                      quantize_forces: bool = True,
                                      chunk: int | None = None,
                                      interpret: bool | None = None,
-                                     softening_sq=None):
+                                     softening_sq=None,
+                                     uniform_gm: bool = False):
     """Newton's-third-law force path for N beyond the sym kernel's VMEM
     residency limit: the single-chip analog of the half-ring schedule.
 
@@ -608,7 +651,13 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
 
     Falls back to the streamed row sweep for dynamic softening sweeps or
     zero softening (the sym pair tile has no traced-softening/self-mask
-    path)."""
+    path).
+
+    ``uniform_gm=True`` is the caller-asserted equal-mass fast path (see
+    pallas_accelerations_sym): it propagates to the diagonal and pair
+    tiles of every chunk that contains no padded tail rows — only the
+    LAST chunk can be padded, and it alone degrades to the general
+    zero-gm-padding kernels."""
     if softening_sq is not None or cfg.softening_sq <= 0.0:
         return pallas_accelerations_streamed(
             positions, masses, q, cfg, quantize_forces=quantize_forces,
@@ -646,16 +695,22 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
     def sl(i):
         return slice(i * chunk, (i + 1) * chunk)
 
+    def unpadded(c):
+        # Only the last chunk can hold padded (gm=0) tail rows.
+        return (c + 1) * chunk <= n
+
     acc = jnp.zeros((n_pad, dim), jnp.float32)
     for i in range(n_chunks):
         pos_i, gm_i = pos_pad[sl(i)], gm_pad[sl(i)]
         acc_i = pallas_accelerations_sym(
             pos_i, None, q, cfg, quantize_forces=False,
-            interpret=interpret, log_lo=log_lo, log_hi=log_hi, gm=gm_i)
+            interpret=interpret, log_lo=log_lo, log_hi=log_hi, gm=gm_i,
+            uniform_gm=uniform_gm and unpadded(i))
         for j in range(i + 1, n_chunks):
             rows, cols = pallas_pair_force_sym(
                 pos_i, gm_i, pos_pad[sl(j)], gm_pad[sl(j)], q, cfg,
-                log_lo=log_lo, log_hi=log_hi, interpret=interpret)
+                log_lo=log_lo, log_hi=log_hi, interpret=interpret,
+                uniform_gm=uniform_gm and unpadded(j))
             acc_i = acc_i + rows
             acc = acc.at[sl(j)].add(cols)
         acc = acc.at[sl(i)].add(acc_i)
@@ -668,7 +723,8 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
 
 def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
                            out_col_ref, *, q: Quantizer, dim: int,
-                           block_i: int, block_j: int, nj_pad: int):
+                           block_i: int, block_j: int, nj_pad: int,
+                           uniform_gm: bool = False):
     """Newton's-third-law pair tile for two DISJOINT particle sets.
 
     The half-ring schedule's per-step tile (parallel/ring.py): receivers
@@ -682,6 +738,12 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
     src_ref:  (D+1, NJ_pad) — source coords + G*m_j row (lane-major)
     out_row_ref: (BI, D) receiver accelerations
     out_col_ref: (D, NJ_pad) source reactions, shared across grid steps
+
+    ``uniform_gm=True`` (all G*m equal, both sets unpadded — asserted by
+    the wrapper): direct and reaction products collapse into one shared
+    t_d = w*diff_d reduced along both axes; the G*m scalars scale in the
+    wrapper's epilogue. Inputs then carry no gm row/column: recv_ref is
+    (BI, D), src_ref (D, NJ_pad).
     """
     pid = pl.program_id(0)
     num_j = nj_pad // block_j
@@ -691,7 +753,7 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
         out_col_ref[...] = jnp.zeros_like(out_col_ref)
 
     xi = [recv_ref[:, d:d + 1] for d in range(dim)]
-    gm_i = recv_ref[:, dim:dim + 1]  # (BI, 1)
+    gm_i = None if uniform_gm else recv_ref[:, dim:dim + 1]  # (BI, 1)
 
     log_lo = bounds_ref[0, 0]
     log_hi = bounds_ref[0, 1]
@@ -709,7 +771,8 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
     def j_chunk(jc, acc):
         j0 = jc * block_j
         xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
-        gm_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]  # (1, BJ)
+        gm_j = (None if uniform_gm
+                else src_ref[dim:dim + 1, pl.ds(j0, block_j)])  # (1, BJ)
         diffs = [xj[d] - xi[d] for d in range(dim)]
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
@@ -724,6 +787,16 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
             d2q = quantize_distance_squared(d2, q)
             inv_d = jax.lax.rsqrt(d2q)
             w = inv_d * inv_d * inv_d
+        if uniform_gm:
+            # Shared t_d: both reductions consume the SAME product (the
+            # G*m scalars scale in the wrapper's epilogue).
+            new = []
+            for d in range(dim):
+                t = w * diffs[d]
+                col = -jnp.sum(t, axis=0, keepdims=True)  # (1, BJ)
+                out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
+                new.append(acc[d] + jnp.sum(t, axis=1, keepdims=True))
+            return tuple(new)
         fr = gm_j * w                       # direct: receiver rows
         fc = gm_i * w                       # reaction: source cols
         for d in range(dim):
@@ -741,12 +814,14 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "block_i",
-                                             "block_j", "interpret"))
+                                             "block_j", "interpret",
+                                             "uniform_gm"))
 def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
                           q: Quantizer, cfg: SimConfig,
                           log_lo=None, log_hi=None,
                           block_i: int = 256, block_j: int | None = None,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          uniform_gm: bool = False):
     """Pair forces between two disjoint sets with Newton's-third-law reuse.
 
     Returns ``(acc_recv, acc_src_reaction)`` — the accelerations of the
@@ -754,6 +829,13 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
     the receivers, from one pass over the pair tile. Requires
     softening > 0 (coincident pairs then contribute exactly zero; the
     ring caller falls back to the masked jnp tile otherwise).
+
+    ``uniform_gm=True`` is a caller-asserted equal-mass fast path (all
+    G*m identical across BOTH sets): one shared w*diff product per dim,
+    G*m scalars applied in the epilogue (gm_src[0] on the rows,
+    gm_recv[0] on the columns). Automatically degrades to the general
+    path whenever either set needs padding — padded rows rely on gm=0 to
+    stay inert, which the uniform kernel has no per-pair factor to honor.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -765,13 +847,20 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
         block_j = _pick_block_j(n_j)
     ni_pad = _round_up(max(n_i, block_i), block_i)
     nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
+    if ni_pad != n_i or nj_pad != n_j:
+        uniform_gm = False
 
-    recv = jnp.zeros((ni_pad, dim + 1), jnp.float32)
-    recv = recv.at[:n_i, :dim].set(receivers.astype(jnp.float32))
-    recv = recv.at[:n_i, dim].set(gm_recv.astype(jnp.float32))
-    src = jnp.zeros((dim + 1, nj_pad), jnp.float32)
-    src = src.at[:dim, :n_j].set(sources.astype(jnp.float32).T)
-    src = src.at[dim, :n_j].set(gm_src.astype(jnp.float32))
+    if uniform_gm:
+        # No gm column/row: the scalars scale in the epilogue.
+        recv = receivers.astype(jnp.float32)
+        src = sources.astype(jnp.float32).T
+    else:
+        recv = jnp.zeros((ni_pad, dim + 1), jnp.float32)
+        recv = recv.at[:n_i, :dim].set(receivers.astype(jnp.float32))
+        recv = recv.at[:n_i, dim].set(gm_recv.astype(jnp.float32))
+        src = jnp.zeros((dim + 1, nj_pad), jnp.float32)
+        src = src.at[:dim, :n_j].set(sources.astype(jnp.float32).T)
+        src = src.at[dim, :n_j].set(gm_src.astype(jnp.float32))
 
     soft = jnp.asarray(cfg.softening_sq, jnp.float32)
     if q.is_int:
@@ -787,16 +876,18 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
 
     kernel = functools.partial(
         _pair_force_sym_kernel, q=q, dim=dim,
-        block_i=block_i, block_j=block_j, nj_pad=nj_pad)
+        block_i=block_i, block_j=block_j, nj_pad=nj_pad,
+        uniform_gm=uniform_gm)
+    gm_rows = 0 if uniform_gm else 1
     rows, cols = pl.pallas_call(
         kernel,
         grid=(ni_pad // block_i,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_i, dim + 1), lambda i: (i, 0),
+            pl.BlockSpec((block_i, dim + gm_rows), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim + 1, nj_pad), lambda i: (0, 0),
+            pl.BlockSpec((dim + gm_rows, nj_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -813,6 +904,8 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(bounds, recv, src)
+    if uniform_gm:
+        return rows * gm_src[0], cols.T * gm_recv[0]
     return rows[:n_i], cols.T[:n_j]
 
 

@@ -298,3 +298,14 @@ def test_run_steps_bounds_every_single_device():
 
     with pytest.raises(ValueError, match="bounds_every"):
         run_steps(st, q, CFG, "pallas_streamed", True, 2, bounds_every=4)
+
+
+def test_uniform_gm_detection():
+    """DirectSimulation detects equal masses eagerly (one host fetch at
+    init) and disables the fast path for varied masses or sharded runs
+    (ring shards pad with zero-mass phantom rows)."""
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(0),
+                                            num_stars=64)
+    assert DirectSimulation(pos, vel, m)._uniform_gm
+    m2 = m.at[3].set(2.0)
+    assert not DirectSimulation(pos, vel, m2)._uniform_gm

@@ -332,3 +332,94 @@ def test_sym_multi_super_chunk(mode, block_j):
     a_ref = forces.dense_accelerations(pos, m, q, CFG)
     np.testing.assert_allclose(np.asarray(a_sym), np.asarray(a_ref),
                                rtol=5e-5, atol=2e-6)
+
+
+# --------------------------------------------------------------------------
+# Equal-mass (uniform G*m) fast path
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_sym_uniform_gm_matches_general(mode):
+    """Unpadded shape: the shared-product fast path must match the
+    general per-pair-gm kernel to f32 rounding (the int-sim log-grid
+    snap happens on d^2 BEFORE gm folds in, so factoring gm out is
+    exact w.r.t. quantization — only summation rounding differs)."""
+    pos, vel, m = _ics(512)  # 512 % block == 512 % block_j == 0: no pad
+    q = Quantizer(mode)
+    a_gen = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     block_j=256)
+    a_uni = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     block_j=256, uniform_gm=True)
+    np.testing.assert_allclose(np.asarray(a_uni), np.asarray(a_gen),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sym_uniform_gm_degrades_on_padding():
+    """Padded N silently takes the general path (padded rows need gm=0
+    to stay inert) — the flag must not change the result at all."""
+    pos, vel, m = _ics(300)  # pads to 512 with block_j=256
+    q = Quantizer(Precision.FLOAT32)
+    a_gen = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     block_j=256)
+    a_uni = pallas_accelerations_sym(pos, m, q, CFG, block=128,
+                                     block_j=256, uniform_gm=True)
+    np.testing.assert_array_equal(np.asarray(a_uni), np.asarray(a_gen))
+
+
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_pair_force_sym_uniform_matches(mode):
+    """Disjoint-set pair tile, unpadded: uniform path == general path."""
+    from nbody_tpu.ops.pallas_nbody import pallas_pair_force_sym
+    from nbody_tpu.ops.precision import dist_sq_log_bounds
+
+    pos, vel, m = _ics(512)
+    recv, src = pos[:256], pos[256:]
+    gm_r, gm_s = CFG.G * m[:256], CFG.G * m[256:]
+    q = Quantizer(mode)
+    if q.is_int:
+        max_d2 = forces.max_pairwise_dist_sq(pos, CFG)
+        lo, hi = dist_sq_log_bounds(q, max_d2, CFG.softening_sq)
+    else:
+        lo = hi = None
+    kw = dict(log_lo=lo, log_hi=hi, block_i=256, block_j=128)
+    r_gen, c_gen = pallas_pair_force_sym(recv, gm_r, src, gm_s, q, CFG, **kw)
+    r_uni, c_uni = pallas_pair_force_sym(recv, gm_r, src, gm_s, q, CFG,
+                                         uniform_gm=True, **kw)
+    np.testing.assert_allclose(np.asarray(r_uni), np.asarray(r_gen),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_uni), np.asarray(c_gen),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pair_force_sym_uniform_degrades_on_padding():
+    """Either set needing padding flips the pair tile to the general
+    (zero-gm-padded) kernel bit-for-bit."""
+    from nbody_tpu.ops.pallas_nbody import pallas_pair_force_sym
+
+    pos, vel, m = _ics(500)  # 250 receivers pad to 256
+    recv, src = pos[:250], pos[250:]
+    gm_r, gm_s = CFG.G * m[:250], CFG.G * m[250:]
+    q = Quantizer(Precision.FLOAT32)
+    kw = dict(block_i=256, block_j=128)
+    r_gen, c_gen = pallas_pair_force_sym(recv, gm_r, src, gm_s, q, CFG, **kw)
+    r_uni, c_uni = pallas_pair_force_sym(recv, gm_r, src, gm_s, q, CFG,
+                                         uniform_gm=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r_uni), np.asarray(r_gen))
+    np.testing.assert_array_equal(np.asarray(c_uni), np.asarray(c_gen))
+
+
+@pytest.mark.parametrize("n", [1024, 1400])
+def test_pallas_sym_chunked_uniform_matches_dense(n):
+    """Chunked large-N path with the equal-mass flag: unpadded chunks
+    take the fast tiles, a padded tail chunk (n=1400, chunk=512)
+    degrades per-chunk — all against the dense oracle."""
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym_chunked
+
+    pos, vel, m = galaxy.create_disk_galaxy(jax.random.PRNGKey(7),
+                                            num_stars=n)
+    q = Quantizer(Precision.FLOAT32)
+    got = pallas_accelerations_sym_chunked(pos, m, q, CFG, chunk=512,
+                                           uniform_gm=True)
+    want = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=2e-6)

@@ -73,6 +73,13 @@ def main() -> int:
             check(f"sym/{mode.value}",
                   pallas_accelerations_sym(pos, m, q, cfg,
                                            quantize_forces=qf), ref)
+            # Equal-mass fast path (all these ICs use unit masses):
+            # active when N is unpadded (2048, 1024-3D), auto-degrading
+            # at N=1531 — both must match the dense oracle compiled.
+            check(f"sym-uniform/{mode.value}",
+                  pallas_accelerations_sym(pos, m, q, cfg,
+                                           quantize_forces=qf,
+                                           uniform_gm=True), ref)
             check(f"rows/{mode.value}",
                   pallas_accelerations(pos, m, q, cfg, quantize_forces=qf),
                   ref)
@@ -83,6 +90,11 @@ def main() -> int:
                   pallas_accelerations_sym_chunked(pos, m, q, cfg,
                                                    quantize_forces=qf,
                                                    chunk=512), ref)
+            check(f"sym_chunked-uniform/{mode.value}",
+                  pallas_accelerations_sym_chunked(pos, m, q, cfg,
+                                                   quantize_forces=qf,
+                                                   chunk=512,
+                                                   uniform_gm=True), ref)
         diff = pos[None, :, :] - pos[:, None, :]
         want_max = jnp.max(jnp.sum(diff * diff, -1)) + cfg.softening_sq
         check("max_pass", pallas_max_dist_sq(pos, cfg)[None],
