@@ -360,12 +360,12 @@ class DirectSimulation:
         self.bounds_every = bounds_every
         self._n_total = int(jnp.shape(positions)[0])
         # Equal-mass detection (one host fetch at init): unlocks the sym
-        # kernel's shared-product fast path (+24% f32 at N=131k). Single-
-        # device only — the ring runners pad with zero-mass phantom rows.
+        # kernels' shared-product fast path (+24% f32 at N=131k). The ring
+        # runners honor it too and auto-disable whenever the shard layout
+        # needs zero-mass phantom padding rows (N % n_shards != 0).
         import numpy as _np
         _m = _np.asarray(masses)
-        self._uniform_gm = bool(mesh is None and _m.size > 0
-                                and (_m == _m.flat[0]).all())
+        self._uniform_gm = bool(_m.size > 0 and (_m == _m.flat[0]).all())
         if mesh is not None and dynamic_params:
             raise ValueError("dynamic_params is not supported with mesh= "
                              "(the ring runners compile static dt/softening)")
@@ -448,7 +448,8 @@ class DirectSimulation:
                     num_steps, quantize_forces=self.quantize_forces,
                     gather=False, schedule=self.schedule,
                     n_total=self._n_total,
-                    bounds_every=self.bounds_every)
+                    bounds_every=self.bounds_every,
+                    uniform_gm=self._uniform_gm)
         elif self.is_baseline:
             self.state = run_steps_baseline(self.state, self.cfg, num_steps)
         else:
@@ -498,7 +499,8 @@ class DirectSimulation:
                     num_chunks, quantize_forces=self.quantize_forces,
                     num_bins=num_bins, schedule=self.schedule,
                     n_total=self._n_total,
-                    bounds_every=self.bounds_every)
+                    bounds_every=self.bounds_every,
+                    uniform_gm=self._uniform_gm)
         elif self.is_baseline:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)

@@ -285,18 +285,22 @@ def _resolve_tile_impl(tile_impl: str, shard_size: int,
 
 
 def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
-                    log_lo, log_hi, impl: str):
+                    log_lo, log_hi, impl: str, uniform_gm: bool = False):
     """Newton's-third-law pair tile between two disjoint blocks.
 
     Returns ``(acc_on_i, reaction_on_j)`` from ONE evaluation of the pair
     weights — the per-step tile of the half-ring schedule. ``impl`` must
-    already be resolved ('pallas' | 'jnp')."""
+    already be resolved ('pallas' | 'jnp'). ``uniform_gm`` is the
+    caller-asserted equal-mass fast path (phantom-free shards only — see
+    run_steps_sharded); the jnp tile ignores it (identical math either
+    way)."""
     if impl == "pallas":
         from nbody_tpu.ops.pallas_nbody import pallas_pair_force_sym
 
         return pallas_pair_force_sym(
             xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
-            block_i=min(256, _round_up(xi.shape[0], 8)))
+            block_i=min(256, _round_up(xi.shape[0], 8)),
+            uniform_gm=uniform_gm)
     diff = xj[None, :, :] - xi[:, None, :]  # (Bi, Bj, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -312,7 +316,8 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
                                   q: Quantizer, cfg: SimConfig,
                                   quantize_forces: bool,
                                   tile_impl: str = "auto",
-                                  ext_bounds=None):
+                                  ext_bounds=None,
+                                  uniform_gm: bool = False):
     """Half-ring Newton's-third-law schedule: every unordered pair once.
 
     The plain ring (``_ring_accelerations_local``) rotates source blocks
@@ -354,7 +359,8 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
         acc = pallas_accelerations_sym(
             pos_local, None, q, cfg, quantize_forces=False,
             block=min(512, _round_up(pos_local.shape[0], 8)),
-            log_lo=log_lo, log_hi=log_hi, gm=gm_local)
+            log_lo=log_lo, log_hi=log_hi, gm=gm_local,
+            uniform_gm=uniform_gm)
     else:
         acc = _tile_force(pos_local, ids_local, pos_local, gm_local,
                           ids_local, q, cfg, log_lo, log_hi, impl="jnp")
@@ -374,7 +380,8 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
         pos_j, gm_j, ids_j, racc = rotate(pos_j, gm_j, ids_j, racc)
         d_acc, d_reac = _tile_force_sym(pos_local, gm_local, ids_local,
                                         pos_j, gm_j, ids_j, q, cfg,
-                                        log_lo, log_hi, impl)
+                                        log_lo, log_hi, impl,
+                                        uniform_gm=uniform_gm)
         return acc + d_acc, pos_j, gm_j, ids_j, racc + d_reac
 
     racc0 = jnp.zeros_like(pos_local)
@@ -391,7 +398,8 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
         def compute(_):
             return _tile_force_sym(pos_local, gm_local, ids_local,
                                    pos_j, gm_j, ids_j, q, cfg,
-                                   log_lo, log_hi, impl)
+                                   log_lo, log_hi, impl,
+                                   uniform_gm=uniform_gm)
 
         def skip(_):
             return jnp.zeros_like(acc), jnp.zeros_like(racc)
@@ -485,13 +493,15 @@ def _pad_to_shards(x, n_shards, fill=0.0):
 
 def _make_ring_force(q: Quantizer, cfg: SimConfig, gm_l, ids_l, n_total,
                      quantize_forces: bool, schedule: str,
-                     bounds_reuse: bool, pos_l):
+                     bounds_reuse: bool, pos_l, uniform_gm: bool = False):
     """Per-device (force, bounds_of, b0) for the sharded leapfrog scans.
 
     ``force(p, b)`` ignores ``b`` unless bounds-reuse is active, where
     ``b`` is the externally owned log-grid bounds. The ring runners need
     a REAL b0 (unlike the single-device scans): the entry force at the
-    pre-drift positions already consumes it."""
+    pre-drift positions already consumes it. ``uniform_gm`` reaches the
+    sym schedule's tiles only (the rows schedule has no shared-product
+    path)."""
     def bounds_of(p):
         max_d2 = _ring_max_d2(p, ids_l, n_total, cfg)
         return dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
@@ -500,16 +510,20 @@ def _make_ring_force(q: Quantizer, cfg: SimConfig, gm_l, ids_l, n_total,
         def force(p, b):
             return _ring_accelerations_sym_local(
                 p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
-                ext_bounds=b)
+                ext_bounds=b, uniform_gm=uniform_gm)
 
         b0 = bounds_of(pos_l)
-    else:
-        force_local = (_ring_accelerations_sym_local if schedule == "sym"
-                       else _ring_accelerations_local)
-
+    elif schedule == "sym":
         def force(p, b):
-            return force_local(p, gm_l, ids_l, n_total, q, cfg,
-                               quantize_forces)
+            return _ring_accelerations_sym_local(
+                p, gm_l, ids_l, n_total, q, cfg, quantize_forces,
+                uniform_gm=uniform_gm)
+
+        b0 = (jnp.float32(0.0), jnp.float32(0.0))  # unused carry slot
+    else:
+        def force(p, b):
+            return _ring_accelerations_local(p, gm_l, ids_l, n_total, q,
+                                             cfg, quantize_forces)
 
         b0 = (jnp.float32(0.0), jnp.float32(0.0))  # unused carry slot
     return force, bounds_of, b0
@@ -540,7 +554,7 @@ def _make_ring_step(cfg: SimConfig, force, bounds_of, bounds_reuse: bool,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
                                     "gather", "schedule", "n_total",
-                                    "bounds_every"))
+                                    "bounds_every", "uniform_gm"))
 def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       mesh: Mesh, num_steps: int,
                       quantize_forces: bool = False,
@@ -548,7 +562,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
                       gather: bool = True,
                       schedule: str = "sym",
                       n_total: int | None = None,
-                      bounds_every: int = 1):
+                      bounds_every: int = 1,
+                      uniform_gm: bool = False):
     """Sharded leapfrog run: scan over ticks with the ring force inside.
 
     Returns (final ParticleState, per-chunk EnergyStream of
@@ -571,6 +586,13 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     reference: quantization.py:112-121); k>1 trades a bounded bin-edge
     shift on non-recompute steps for throughput — see docs/PERF.md for
     the measured drift-envelope impact before enabling it.
+
+    ``uniform_gm=True`` is the caller-asserted equal-mass fast path
+    (see ops/pallas_nbody.pallas_accelerations_sym): the sym schedule's
+    diagonal and pair tiles reduce one shared w*diff product per dim.
+    Auto-disabled whenever the shard layout carries phantom padding rows
+    (N % n_shards != 0) — phantoms rely on gm=0 to stay inert, which the
+    uniform kernels have no per-pair factor to honor.
     """
     if n_total is None:
         n_total = state.positions.shape[0]
@@ -578,6 +600,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     n_shards = mesh.shape[AXIS]
 
     pos = _pad_to_shards(state.positions, n_shards)
+    if pos.shape[0] != n_total:
+        uniform_gm = False  # phantom rows need gm=0 to stay inert
     vel = _pad_to_shards(state.velocities, n_shards)
     masses = _pad_to_shards(state.masses, n_shards)
     gmass = cfg.G * masses
@@ -589,7 +613,7 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
         force, bounds_of, b0 = _make_ring_force(
             q, cfg, gm_l, ids_l, n_total, quantize_forces, schedule,
-            bounds_reuse, pos_l)
+            bounds_reuse, pos_l, uniform_gm)
         acc_l = force(pos_l, b0)
         one_step = _make_ring_step(cfg, force, bounds_of, bounds_reuse,
                                    bounds_every)
@@ -692,25 +716,35 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
                                              "quantize_forces",
-                                             "tile_impl", "schedule"))
+                                             "tile_impl", "schedule",
+                                             "uniform_gm"))
 def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                        mesh: Mesh, quantize_forces: bool = False,
-                       tile_impl: str = "auto", schedule: str = "sym"):
+                       tile_impl: str = "auto", schedule: str = "sym",
+                       uniform_gm: bool = False):
     """One sharded force evaluation (library entry for tests/benchmarks).
 
     Module-level jit: an unjitted shard_map closure would retrace AND
     recompile on every call (measured ~4 s/call through this box's
     remote-compile service at N=131k). ``schedule='sym'`` is the
-    half-ring Newton's-third-law schedule; 'rows' the plain ring."""
+    half-ring Newton's-third-law schedule; 'rows' the plain ring.
+    ``uniform_gm`` follows run_steps_sharded (sym schedule only;
+    auto-disabled on phantom-padded layouts)."""
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
     pos = _pad_to_shards(positions, n_shards)
+    if pos.shape[0] != n_total:
+        uniform_gm = False  # phantom rows need gm=0 to stay inert
     gmass = cfg.G * _pad_to_shards(masses, n_shards)
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
 
     fn = shard_map(
-        functools.partial(_ring_accelerations_sym_local if schedule == "sym"
-                          else _ring_accelerations_local,
+        functools.partial(_ring_accelerations_sym_local,
+                          n_total=n_total, q=q,
+                          cfg=cfg, quantize_forces=quantize_forces,
+                          tile_impl=tile_impl, uniform_gm=uniform_gm)
+        if schedule == "sym" else
+        functools.partial(_ring_accelerations_local,
                           n_total=n_total, q=q,
                           cfg=cfg, quantize_forces=quantize_forces,
                           tile_impl=tile_impl),
@@ -838,7 +872,7 @@ _SNAP_REPLICATED = metrics_lib.Snapshot(*([P()] * 10))
                    static_argnames=("q", "cfg", "mesh", "quantize_forces",
                                     "steps_per_chunk", "num_chunks",
                                     "num_bins", "schedule", "n_total",
-                                    "bounds_every"))
+                                    "bounds_every", "uniform_gm"))
 def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
                                cfg: SimConfig, mesh: Mesh,
                                steps_per_chunk: int, num_chunks: int,
@@ -846,7 +880,8 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
                                num_bins: int = 20,
                                schedule: str = "sym",
                                n_total: int | None = None,
-                               bounds_every: int = 1):
+                               bounds_every: int = 1,
+                               uniform_gm: bool = False):
     """Sharded history run: the multi-chip ``models.direct.
     run_with_snapshots`` (reference: simulation.py:145-196,229-242).
 
@@ -862,6 +897,8 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
         n_total = state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
     pos = _pad_to_shards(state.positions, n_shards)
+    if pos.shape[0] != n_total:
+        uniform_gm = False  # phantom rows need gm=0 to stay inert
     vel = _pad_to_shards(state.velocities, n_shards)
     masses = _pad_to_shards(state.masses, n_shards)
     gmass = cfg.G * masses
@@ -872,7 +909,7 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l, tick0):
         force, bounds_of, b0 = _make_ring_force(
             q, cfg, gm_l, ids_l, n_total, quantize_forces, schedule,
-            bounds_reuse, pos_l)
+            bounds_reuse, pos_l, uniform_gm)
         acc_l = force(pos_l, b0)
         m_full = jax.lax.all_gather(m_l, AXIS, tiled=True)[:n_total]
         one_step = _make_ring_step(cfg, force, bounds_of, bounds_reuse,

@@ -168,6 +168,57 @@ def test_sym_schedule_pallas_tile(mesh8, mode):
                                rtol=5e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_ring_uniform_gm_matches_general(mode):
+    """Equal-mass fast path on the sym ring must match the general path.
+
+    128-particle shards (N=256 on 2 devices) keep every Pallas tile
+    padding-free, so the uniform kernels genuinely run (smaller shards
+    would silently degrade to the general path inside the wrappers)."""
+    mesh2 = ring.make_particle_mesh(2)
+    pos, vel, m = _ics(256)  # disk-galaxy masses are uniform (all 1.0)
+    q = Quantizer(mode)
+    a_gen = ring.ring_accelerations(pos, m, q, CFG, mesh2,
+                                    tile_impl="pallas",
+                                    quantize_forces=q.is_int,
+                                    schedule="sym")
+    a_uni = ring.ring_accelerations(pos, m, q, CFG, mesh2,
+                                    tile_impl="pallas",
+                                    quantize_forces=q.is_int,
+                                    schedule="sym", uniform_gm=True)
+    np.testing.assert_allclose(np.asarray(a_uni), np.asarray(a_gen),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_ring_uniform_gm_unaligned_auto_disables(mesh8):
+    """uniform_gm on a phantom-padded layout (N % shards != 0) must be
+    auto-disabled: phantom rows rely on gm=0 to stay inert, which the
+    uniform kernels cannot honor. Result must still be exact."""
+    pos, vel, m = _ics(250)
+    q = Quantizer(Precision.FLOAT32)
+    a_uni = ring.ring_accelerations(pos, m, q, CFG, mesh8, uniform_gm=True)
+    a_ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a_uni), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_uniform_gm_sharded_run_matches_general(mesh8):
+    """End-to-end sharded leapfrog with uniform_gm=True must track the
+    general sharded run (jnp tiles on CPU ignore the flag; this pins the
+    runner plumbing — carry shapes, bounds-reuse interaction)."""
+    pos, vel, m = _ics(256)
+    st = make_state(pos, vel, m)
+    q = Quantizer(Precision.INT4_SIM)
+    out_u, _ = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=10,
+                                      quantize_forces=True,
+                                      uniform_gm=True)
+    out_g, _ = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=10,
+                                      quantize_forces=True)
+    np.testing.assert_allclose(np.asarray(out_u.positions),
+                               np.asarray(out_g.positions),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_pair_force_sym_reaction():
     """The sym pair tile's reaction output must equal the direct force
     computed with roles swapped (Newton's third law by construction)."""
