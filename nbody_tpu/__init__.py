@@ -26,7 +26,18 @@ import jax as _jax
 # Persistent compilation cache: compiles on this environment go through a
 # remote TPU compile service with multi-second latency (and the emulated-f64
 # baseline programs are expensive to build); cache every executable on disk.
-if not _os.environ.get("NBODY_TPU_NO_CACHE"):
+#
+# EXCEPT on forced-multi-device CPU (the virtual-mesh test/dryrun
+# environment, marked by xla_force_host_platform_device_count in
+# XLA_FLAGS): deserialized multi-device XLA:CPU executables can hit a
+# lost-wakeup race in the collective runtime on this box — every thread
+# futex-parks with nothing runnable and the process wedges. Freshly
+# COMPILED programs never exhibit it (compile latency naturally serializes
+# the first dispatches), so virtual-mesh runs always compile
+# (see tests/conftest.py for the full diagnosis).
+_virtual_mesh_cpu = ("xla_force_host_platform_device_count"
+                     in _os.environ.get("XLA_FLAGS", ""))
+if not _os.environ.get("NBODY_TPU_NO_CACHE") and not _virtual_mesh_cpu:
     _cache_dir = _os.environ.get(
         "NBODY_TPU_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),

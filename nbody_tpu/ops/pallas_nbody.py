@@ -329,8 +329,9 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     if block is None:
         # On-chip sweep at N=131k: int4's longer per-pair chain prefers
         # 256-sublane receiver blocks (2.343e11 vs 2.286e11 pairs/s);
-        # f32 prefers 512 (3.243e11 vs 3.150e11).
-        block = 256 if q.is_int else 512
+        # f32 prefers 512 (3.243e11 vs 3.150e11). The equal-mass path's
+        # shorter chain flips int back to 512 (61.5 vs 63.2 ms/step).
+        block = 256 if (q.is_int and not uniform_gm) else 512
     quantum = math.lcm(block, 128)
     if block_j is None:
         block_j = min(_round_up(1024, quantum),
@@ -637,7 +638,8 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
                                      chunk: int | None = None,
                                      interpret: bool | None = None,
                                      softening_sq=None,
-                                     uniform_gm: bool = False):
+                                     uniform_gm: bool = False,
+                                     log_lo=None, log_hi=None, gm=None):
     """Newton's-third-law force path for N beyond the sym kernel's VMEM
     residency limit: the single-chip analog of the half-ring schedule.
 
@@ -657,7 +659,12 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
     pallas_accelerations_sym): it propagates to the diagonal and pair
     tiles of every chunk that contains no padded tail rows — only the
     LAST chunk can be padded, and it alone degrades to the general
-    zero-gm-padding kernels."""
+    zero-gm-padding kernels.
+
+    ``log_lo``/``log_hi`` optionally supply EXTERNAL int-sim grid bounds
+    (the sharded ring owns the global ring-wide bounds when it routes
+    large shards through this path); ``gm`` optionally supplies
+    precomputed G*m in place of ``masses``."""
     if softening_sq is not None or cfg.softening_sq <= 0.0:
         return pallas_accelerations_streamed(
             positions, masses, q, cfg, quantize_forces=quantize_forces,
@@ -682,14 +689,15 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
 
     positions = positions.astype(jnp.float32)
     pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
-    gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
-        cfg.G * masses.astype(jnp.float32))
+    if gm is None:
+        gm = cfg.G * masses.astype(jnp.float32)
+    gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
 
-    if q.is_int:
+    if q.is_int and (log_lo is None or log_hi is None):
         max_d2 = pallas_max_dist_sq_streamed(positions, cfg,
                                              interpret=interpret)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
-    else:
+    elif not q.is_int:
         log_lo = log_hi = None
 
     def sl(i):

@@ -42,9 +42,45 @@ from nbody_tpu.ops.precision import (
 
 AXIS = "shards"
 
+# Grid-resident VMEM footprint budget for the sym kernels' source (+
+# reaction) arrays. Shards whose resident arrays exceed it route through
+# SOURCE-CHUNKED tiles (several kernel launches per ring step) instead of
+# failing Mosaic compilation — the multi-chip analog of the single-device
+# pallas_sym_chunked ladder (models/direct._resolve_impl). ~525k 2-D
+# particles per shard at the default budget.
+_VMEM_RESIDENT_BUDGET = 10_500_000
+
+# HBM cap for the jnp broadcast tiles of the energy/dd ring passes: the
+# (rb, B, D) intermediate at e.g. B=1M with the default 1024-row blocks
+# would be an 8 GB allocation; rb is clamped so it stays under this.
+_BCAST_TILE_BYTES = 512 << 20
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _sym_resident_bytes(n: int, dim: int) -> int:
+    """VMEM bytes of the sym kernels' grid-resident arrays: the
+    (D+1, N) source plus the (D, N) reaction buffer."""
+    return 4 * (2 * dim + 1) * n
+
+
+# Floor on the source-chunk size (tests shrink it to exercise the chunked
+# paths at CPU scale without heavyweight interpret-mode programs).
+_SRC_CHUNK_FLOOR = 512
+
+
+def _src_chunk_size(n: int, dim: int) -> int:
+    """Balanced source-chunk size whose resident arrays fit the budget."""
+    max_chunk = _VMEM_RESIDENT_BUDGET // (4 * (2 * dim + 1))
+    n_chunks = -(-n // max(max_chunk, _SRC_CHUNK_FLOOR))
+    return -(-n // n_chunks)
+
+
+def _clamp_row_block(row_block: int, b: int, dim: int) -> int:
+    """Row-block size keeping the (rb, B, D) jnp broadcast tile bounded."""
+    return max(8, min(row_block, b, _BCAST_TILE_BYTES // max(b * dim * 4, 1)))
 
 
 class EnergyStream(NamedTuple):
@@ -91,9 +127,23 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
         # block_j defaults to the padding-aware lane ladder
         # (ops/pallas_nbody._pick_block_j) — fast 2048 slices when the
         # shard size cooperates, narrower when padding would dominate.
-        return pallas_pair_force(xi, xj, gm_j, q, cfg,
-                                 log_lo=log_lo, log_hi=log_hi,
-                                 block_i=min(512, _round_up(xi.shape[0], 8)))
+        # Sources past the VMEM residency budget split into column
+        # chunks (receivers stream from HBM at any size).
+        nj, dim = xj.shape
+        bi = min(512, _round_up(xi.shape[0], 8))
+        if _sym_resident_bytes(nj, dim) <= _VMEM_RESIDENT_BUDGET:
+            return pallas_pair_force(xi, xj, gm_j, q, cfg,
+                                     log_lo=log_lo, log_hi=log_hi,
+                                     block_i=bi)
+        chunk = _src_chunk_size(nj, dim)
+        acc = None
+        for c0 in range(0, nj, chunk):
+            sl = slice(c0, min(c0 + chunk, nj))
+            a = pallas_pair_force(xi, xj[sl], gm_j[sl], q, cfg,
+                                  log_lo=log_lo, log_hi=log_hi,
+                                  block_i=bi)
+            acc = a if acc is None else acc + a
+        return acc
     diff = xj[None, :, :] - xi[:, None, :]  # (B, B, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -117,7 +167,7 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
     visit it — S//2 + 1 ring steps instead of S."""
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
-    rb = min(row_block, b)
+    rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
     pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
     vi = jnp.pad(ids_local < n_total, (0, pad))
@@ -127,13 +177,29 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
     if use_pallas:
         from nbody_tpu.ops.pallas_nbody import pallas_pair_max
 
+    # pallas_pair_max stages a (D+1, B) source array resident in VMEM and
+    # emits one SMEM row per receiver block; shards past the budget split
+    # BOTH axes into chunks (sources for VMEM residency, receivers to keep
+    # the per-block max output within the ~1 MB SMEM space).
+    max_src = max(_VMEM_RESIDENT_BUDGET // (4 * (dim + 1)), 2048)
+    n_src_chunks = -(-b // max_src)
+    src_chunk = -(-b // n_src_chunks)
+    recv_chunk = src_chunk
+
     def step(s, carry):
         best, pos_j, ids_j = carry
         if use_pallas:
-            step_best = pallas_pair_max(
-                pos_local, pos_j, ids_local < n_total, ids_j < n_total,
-                block_i=min(512, _round_up(b, 8)),
-                block_j=min(2048, _round_up(b, 128)))
+            step_best = jnp.float32(0.0)
+            for r0 in range(0, b, recv_chunk):
+                rsl = slice(r0, min(r0 + recv_chunk, b))
+                for c0 in range(0, b, src_chunk):
+                    sl = slice(c0, min(c0 + src_chunk, b))
+                    step_best = jnp.maximum(step_best, pallas_pair_max(
+                        pos_local[rsl], pos_j[sl],
+                        (ids_local < n_total)[rsl],
+                        ids_j[sl] < n_total,
+                        block_i=min(512, _round_up(recv_chunk, 8)),
+                        block_j=min(2048, _round_up(src_chunk, 128))))
         else:
             valid_j = (ids_j < n_total)[None, :]
 
@@ -174,7 +240,7 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
     """
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
-    rb = min(row_block, b)
+    rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
     pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
     # Padded receiver rows get zero mass so they drop out of the sum.
@@ -297,10 +363,28 @@ def _tile_force_sym(xi, gm_i, ids_i, xj, gm_j, ids_j, q, cfg,
     if impl == "pallas":
         from nbody_tpu.ops.pallas_nbody import pallas_pair_force_sym
 
-        return pallas_pair_force_sym(
-            xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
-            block_i=min(256, _round_up(xi.shape[0], 8)),
-            uniform_gm=uniform_gm)
+        nj, dim = xj.shape
+        bi = min(256, _round_up(xi.shape[0], 8))
+        if _sym_resident_bytes(nj, dim) <= _VMEM_RESIDENT_BUDGET:
+            return pallas_pair_force_sym(
+                xi, gm_i, xj, gm_j, q, cfg, log_lo=log_lo, log_hi=log_hi,
+                block_i=bi, uniform_gm=uniform_gm)
+        # Source-chunked sym tile: shards past the pair tile's VMEM
+        # residency limit split the VISITING block into column chunks
+        # (receivers stream from HBM at any size; the reaction buffer is
+        # what must stay resident, so it is chunked with its sources).
+        chunk = _src_chunk_size(nj, dim)
+        rows = None
+        cols = []
+        for c0 in range(0, nj, chunk):
+            sl = slice(c0, min(c0 + chunk, nj))
+            r, cc = pallas_pair_force_sym(
+                xi, gm_i, xj[sl], gm_j[sl], q, cfg,
+                log_lo=log_lo, log_hi=log_hi, block_i=bi,
+                uniform_gm=uniform_gm)
+            rows = r if rows is None else rows + r
+            cols.append(cc)
+        return rows, jnp.concatenate(cols, axis=0)
     diff = xj[None, :, :] - xi[:, None, :]  # (Bi, Bj, D)
     d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
     d2q = quantize_distance_squared(d2, q, log_lo=log_lo, log_hi=log_hi)
@@ -352,15 +436,27 @@ def _ring_accelerations_sym_local(pos_local, gm_local, ids_local, n_total,
     impl = _resolve_tile_impl(tile_impl, pos_local.shape[0], cfg)
 
     # Diagonal (resident) block: intra-shard pairs, Newton-halved by the
-    # single-device symmetric kernel when on TPU.
+    # single-device symmetric kernel when on TPU; shards past the sym
+    # kernel's VMEM residency limit use the chunked ladder (same as the
+    # single-device large-N path, with the ring's global int bounds).
     if impl == "pallas":
-        from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+        b, dim_l = pos_local.shape
+        if _sym_resident_bytes(b, dim_l) <= _VMEM_RESIDENT_BUDGET:
+            from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
 
-        acc = pallas_accelerations_sym(
-            pos_local, None, q, cfg, quantize_forces=False,
-            block=min(512, _round_up(pos_local.shape[0], 8)),
-            log_lo=log_lo, log_hi=log_hi, gm=gm_local,
-            uniform_gm=uniform_gm)
+            acc = pallas_accelerations_sym(
+                pos_local, None, q, cfg, quantize_forces=False,
+                block=min(512, _round_up(b, 8)),
+                log_lo=log_lo, log_hi=log_hi, gm=gm_local,
+                uniform_gm=uniform_gm)
+        else:
+            from nbody_tpu.ops.pallas_nbody import (
+                pallas_accelerations_sym_chunked)
+
+            acc = pallas_accelerations_sym_chunked(
+                pos_local, None, q, cfg, quantize_forces=False,
+                log_lo=log_lo, log_hi=log_hi, gm=gm_local,
+                uniform_gm=uniform_gm)
     else:
         acc = _tile_force(pos_local, ids_local, pos_local, gm_local,
                           ids_local, q, cfg, log_lo, log_hi, impl="jnp")
@@ -441,7 +537,7 @@ def _ring_accelerations_dd_local(pos_local, gm_local, ids_local, n_total,
     """
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
-    rb = min(row_block, b)
+    rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
     pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
     ids_i = jnp.pad(ids_local, (0, pad),

@@ -35,9 +35,17 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache: this box has a single vCPU and XLA compiles
-# dominate test wall time; cache them across runs.
-_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache here — deliberately. Deserialized
+# multi-device (shard_map/collective) XLA:CPU executables can deadlock this
+# box: every thread (8 per-device Eigen workers + runtime) parks on a futex
+# with nothing runnable and the process wedges mid-test (diagnosed via
+# /proc wchan + pytest faulthandler; reproducer was
+# `pytest tests/test_parallel_ring.py tests/test_direct_mesh.py` on a warm
+# cache). Freshly COMPILED programs never exhibit it — compile latency
+# naturally serializes the first dispatches — and cold runs pass 100% of
+# the time, so the suite always compiles. Ruled out experimentally:
+# synchronous CPU dispatch, --xla_cpu_use_thunk_runtime=false, per-module
+# jax.extend.backend.clear_backends() — all still deadlocked warm.
+# nbody_tpu/__init__.py skips its cache setup when it sees the forced-
+# device-count flag this file sets, covering test and dryrun processes
+# alike.

@@ -219,6 +219,39 @@ def test_uniform_gm_sharded_run_matches_general(mesh8):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", [Precision.FLOAT32, Precision.INT4_SIM])
+def test_ring_source_chunked_tiles_match(monkeypatch, mode):
+    """Shards past the VMEM residency budget split every ring tile into
+    source chunks (diagonal via the chunked sym ladder, pair tiles via
+    column chunks). A shrunken budget + chunk floor forces the chunked
+    paths at CPU scale; results must match the dense reference."""
+    monkeypatch.setattr(ring, "_VMEM_RESIDENT_BUDGET", 4 * 5 * 64)
+    monkeypatch.setattr(ring, "_SRC_CHUNK_FLOOR", 64)
+    mesh2 = ring.make_particle_mesh(2)
+    pos, vel, m = _ics(320)  # 160-particle shards -> 3 source chunks
+    q = Quantizer(mode)
+    a = ring.ring_accelerations(pos, m, q, CFG, mesh2, tile_impl="pallas",
+                                quantize_forces=q.is_int, schedule="sym")
+    ref = forces.dense_accelerations(pos, m, q, CFG,
+                                     quantize_forces=q.is_int)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                               rtol=5e-5, atol=2e-6)
+
+
+def test_ring_source_chunked_rows_schedule(monkeypatch):
+    """The plain rows schedule's pair tile chunks its sources too."""
+    monkeypatch.setattr(ring, "_VMEM_RESIDENT_BUDGET", 4 * 5 * 64)
+    monkeypatch.setattr(ring, "_SRC_CHUNK_FLOOR", 64)
+    mesh2 = ring.make_particle_mesh(2)
+    pos, vel, m = _ics(320)
+    q = Quantizer(Precision.FLOAT32)
+    a = ring.ring_accelerations(pos, m, q, CFG, mesh2, tile_impl="pallas",
+                                schedule="rows")
+    ref = forces.dense_accelerations(pos, m, q, CFG)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                               rtol=5e-5, atol=2e-6)
+
+
 def test_pallas_pair_force_sym_reaction():
     """The sym pair tile's reaction output must equal the direct force
     computed with roles swapped (Newton's third law by construction)."""
