@@ -917,6 +917,104 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
     return rows[:n_i], cols.T[:n_j]
 
 
+def _pair_pe_kernel(soft_ref, recv_ref, src_ref, out_ref, *, dim: int,
+                    block_i: int, block_j: int, nj_pad: int):
+    """Per-receiver-row potential-energy partial sums over a source block.
+
+    recv_ref: (BI, D+2) — coords + mass column + particle-id column (ids
+        carried as f32: exact below 2^24, and only EQUALITY is tested)
+    src_ref:  (D+2, NJ_pad) — coords + mass row + id row (lane-major)
+    out_ref:  (BI, 1) — sum_j m_i * m_j / sqrt(|x_i-x_j|^2 + eps^2)
+
+    Padded rows/lanes carry zero mass (zero contribution); the id mask
+    zeroes the i==j self-pair exactly as the reference's triu discipline
+    (reference: simulation.py:176-192 — here every unordered pair is
+    visited twice across the ring and the caller halves the total).
+    Row sums accumulate in plain f32 (~sqrt(B)*eps relative error — at
+    B=1M that is ~6e-5 per row); the caller combines rows with a
+    double-double reduction, preserving the compensated cross-row sum.
+    """
+    num_j = nj_pad // block_j
+    xi = [recv_ref[:, d:d + 1] for d in range(dim)]
+    m_i = recv_ref[:, dim:dim + 1]        # (BI, 1)
+    id_i = recv_ref[:, dim + 1:dim + 2]   # (BI, 1)
+    soft = soft_ref[0, 0]
+
+    def j_chunk(jc, acc):
+        j0 = jc * block_j
+        xj = [src_ref[d:d + 1, pl.ds(j0, block_j)] for d in range(dim)]
+        m_j = src_ref[dim:dim + 1, pl.ds(j0, block_j)]      # (1, BJ)
+        id_j = src_ref[dim + 1:dim + 2, pl.ds(j0, block_j)]  # (1, BJ)
+        diffs = [xj[d] - xi[d] for d in range(dim)]
+        d2 = diffs[0] * diffs[0]
+        for d in range(1, dim):
+            d2 = d2 + diffs[d] * diffs[d]
+        pair = (m_i * m_j) * jax.lax.rsqrt(d2 + soft)
+        pair = jnp.where(id_i == id_j, 0.0, pair)
+        return acc + jnp.sum(pair, axis=1, keepdims=True)
+
+    acc = jax.lax.fori_loop(0, num_j, j_chunk,
+                            jnp.zeros((block_i, 1), jnp.float32))
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "block_j",
+                                             "interpret"))
+def pallas_pair_pe_rows(receivers, m_recv, ids_recv, sources, m_src,
+                        ids_src, softening_sq,
+                        block_i: int = 512, block_j: int | None = None,
+                        interpret: bool | None = None):
+    """Per-receiver potential-energy row sums against a source set.
+
+    Returns a (n_recv,) f32 vector of sum_j m_i*m_j/sqrt(d2+eps2) — the
+    compute-bound Pallas tile of the sharded energy ring
+    (parallel/ring._ring_pe_local; the jnp broadcast tile is memory-bound
+    at production shard sizes: ~0.4 s/eval at 131k vs ~60 ms here).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_i, dim = receivers.shape
+    n_j = sources.shape[0]
+    if block_j is None:
+        block_j = _pick_block_j(n_j)
+    ni_pad = _round_up(max(n_i, block_i), block_i)
+    nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
+
+    recv = jnp.zeros((ni_pad, dim + 2), jnp.float32)
+    recv = recv.at[:n_i, :dim].set(receivers.astype(jnp.float32))
+    recv = recv.at[:n_i, dim].set(m_recv.astype(jnp.float32))
+    recv = recv.at[:n_i, dim + 1].set(ids_recv.astype(jnp.float32))
+    recv = recv.at[n_i:, dim + 1].set(-1.0)  # pads: zero mass, inert id
+    src = jnp.zeros((dim + 2, nj_pad), jnp.float32)
+    src = src.at[:dim, :n_j].set(sources.astype(jnp.float32).T)
+    src = src.at[dim, :n_j].set(m_src.astype(jnp.float32))
+    src = src.at[dim + 1, :n_j].set(ids_src.astype(jnp.float32))
+    src = src.at[dim + 1, n_j:].set(-2.0)
+
+    soft = jnp.asarray(softening_sq, jnp.float32).reshape(1, 1)
+    kernel = functools.partial(_pair_pe_kernel, dim=dim, block_i=block_i,
+                               block_j=block_j, nj_pad=nj_pad)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(ni_pad // block_i,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dim + 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim + 2, nj_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni_pad, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(soft, recv, src)
+    return rows[:n_i, 0]
+
+
 def _max_kernel(pos_i_ref, src_ref, out_ref, *, dim: int, block_i: int,
                 block_j: int, n_pad: int):
     """Per-receiver-block max of pairwise |x_i - x_j|^2 over all sources.

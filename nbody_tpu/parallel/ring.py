@@ -225,6 +225,37 @@ def _ring_max_d2(pos_local, ids_local, n_total, cfg, row_block: int = 512):
     return jax.lax.pmax(best, AXIS) + cfg.softening_sq
 
 
+# Minimum shard size for the Pallas PE tile (below it, dispatch overhead
+# beats the jnp broadcast tile) and an override for tests: "auto" picks
+# the kernel on TPU at production shards; "pallas"/"jnp" force a path.
+_PE_PALLAS_MIN_SHARD = 4096
+_PE_TILE_IMPL = "auto"
+
+
+def _pe_rows_pallas_chunked(pos_i, m_i, ids_i, pos_j, m_j, ids_j,
+                            cfg: SimConfig):
+    """(B,) PE row sums of receivers against sources via the Pallas pair-PE
+    tile, source-chunked past the VMEM residency budget."""
+    from nbody_tpu.ops.pallas_nbody import pallas_pair_pe_rows
+
+    nj, dim = pos_j.shape
+    bi = min(512, _round_up(pos_i.shape[0], 8))
+    if 4 * (dim + 2) * nj <= _VMEM_RESIDENT_BUDGET:
+        return pallas_pair_pe_rows(pos_i, m_i, ids_i, pos_j, m_j, ids_j,
+                                   cfg.softening_sq, block_i=bi)
+    max_chunk = max(_VMEM_RESIDENT_BUDGET // (4 * (dim + 2)),
+                    _SRC_CHUNK_FLOOR)
+    n_chunks = -(-nj // max_chunk)
+    chunk = -(-nj // n_chunks)
+    rows = None
+    for c0 in range(0, nj, chunk):
+        sl = slice(c0, min(c0 + chunk, nj))
+        r = pallas_pair_pe_rows(pos_i, m_i, ids_i, pos_j[sl], m_j[sl],
+                                ids_j[sl], cfg.softening_sq, block_i=bi)
+        rows = r if rows is None else rows + r
+    return rows
+
+
 def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
                    row_block: int = 1024):
     """Pairwise potential energy via the same ppermute ring, per device.
@@ -235,11 +266,40 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
     sum is halved — the same discipline as the single-device
     diagnostics.metrics.potential_energy. Padded particles carry zero mass
     and contribute nothing. Accumulation is compensated (double-double
-    carry over per-tile compensated sums). Returns the replicated global
-    scalar U (already psum'd).
+    carry over per-tile compensated sums; the Pallas path compensates
+    across rows and ring steps, with plain-f32 within-row sums). Returns
+    the replicated global scalar U (already psum'd).
+
+    Production shards (>= _PE_PALLAS_MIN_SHARD on TPU) use the
+    compute-bound Pallas pair-PE tile — the jnp broadcast tile is
+    memory-bound (~0.4 s/eval at 131k shards, ~31 s at 1M); the kernel
+    runs it at force-kernel rates (docs/PERF.md).
     """
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
+
+    use_pallas_pe = cfg.softening_sq > 0.0 and (
+        _PE_TILE_IMPL == "pallas"
+        or (_PE_TILE_IMPL == "auto" and jax.default_backend() == "tpu"
+            and b >= _PE_PALLAS_MIN_SHARD))
+    if use_pallas_pe:
+        def pe_step(s, carry):
+            acc, pos_j, m_j, ids_j = carry
+            rows = _pe_rows_pallas_chunked(pos_local, m_local, ids_local,
+                                           pos_j, m_j, ids_j, cfg)
+            acc = dd.dd_add(acc, dd.dd_sum(rows))
+            perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+            pos_j = jax.lax.ppermute(pos_j, AXIS, perm)
+            m_j = jax.lax.ppermute(m_j, AXIS, perm)
+            ids_j = jax.lax.ppermute(ids_j, AXIS, perm)
+            return acc, pos_j, m_j, ids_j
+
+        acc0 = dd.DD(jnp.float32(0.0), jnp.float32(0.0))
+        acc, _, _, _ = jax.lax.fori_loop(
+            0, axis_size, pe_step, (acc0, pos_local, m_local, ids_local))
+        local = acc.hi + acc.lo
+        return -0.5 * cfg.G * jax.lax.psum(local, AXIS)
+
     rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
     pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))

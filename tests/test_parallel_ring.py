@@ -98,6 +98,23 @@ def test_ring_potential_energy_matches_single_device(mesh8):
         np.testing.assert_allclose(pe_ring, pe_ref, rtol=1e-5)
 
 
+def test_ring_potential_energy_pallas_tile(monkeypatch):
+    """The Pallas pair-PE tile (production TPU path, interpret mode on
+    CPU) must match the single-device reduction, including unaligned N
+    (phantom padding) and the source-chunked large-shard path."""
+    from nbody_tpu.diagnostics.metrics import potential_energy
+
+    monkeypatch.setattr(ring, "_PE_TILE_IMPL", "pallas")
+    monkeypatch.setattr(ring, "_VMEM_RESIDENT_BUDGET", 4 * 4 * 64)
+    monkeypatch.setattr(ring, "_SRC_CHUNK_FLOOR", 64)
+    mesh2 = ring.make_particle_mesh(2)
+    for n in (320, 250):
+        pos, vel, m = _ics(n)
+        pe_ring = float(ring.ring_potential_energy(pos, m, CFG, mesh2))
+        pe_ref = float(potential_energy(pos, m, CFG))
+        np.testing.assert_allclose(pe_ring, pe_ref, rtol=1e-5)
+
+
 def test_sharded_total_energy_drift_matches_single_device(mesh8):
     """The headline observable: total-energy drift trajectories from the
     sharded path must match the single-device engine
