@@ -14,8 +14,10 @@ padding rules — an (N, 2) array staged whole into VMEM pads its lane axis
 * sources (j) live on the *lane* axis: one (D+1, N_pad) array holds the
   coordinate rows plus a G*m_j row, resident in VMEM for the entire grid
   (~4 MB at N = 131k), streamed in (1, BJ) slices by a fori_loop;
-* padded tail sources carry zero mass, which zeroes their force
-  contribution exactly — no explicit mask;
+* padded tail sources carry zero mass AND sit at a far sentinel position
+  (_PAD_FAR), which zeroes their force contribution exactly in every
+  precision mode — no explicit mask, and no 0 * inf = NaN even for a real
+  particle at the origin under zero softening;
 * the per-dim accumulator is a (BI, 1) column updated by a lane-axis
   reduction of the (BI, BJ) tile;
 * the precision hook (quantize_distance_squared) runs in-tile; the
@@ -47,6 +49,24 @@ from nbody_tpu.ops.precision import (
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Padding positions sit at a far sentinel, not the origin: a REAL particle
+# at exactly the origin under ZERO softening would otherwise hit d2 == 0
+# against a zero-filled pad — rsqrt(0) = inf with gm_pad = 0 gives
+# 0 * inf = NaN in a real output row (the id self-mask covers equal ids
+# only). At the sentinel, w = rsqrt(d2)^3 underflows to exactly 0 in every
+# precision mode (f16 overflows d2 to inf -> rsqrt = 0; the int log-grid
+# arg saturates -> exp -> 0), so padded pairs contribute exactly zero with
+# no per-pair mask. 2e18 keeps diff^2 ~ 4e36 finite in f32 for any
+# plausible real coordinate (crash experiments push positions to ~1e6).
+_PAD_FAR = 2.0e18
+
+
+def _pad_positions(positions, n_pad: int):
+    n, dim = positions.shape
+    return jnp.full((n_pad, dim), _PAD_FAR,
+                    jnp.float32).at[:n].set(positions)
 
 
 def _pick_block_j(n_j: int, cap: int = 2048, max_waste: float = 0.125) -> int:
@@ -347,7 +367,7 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     positions = positions.astype(jnp.float32)
     if gm is None:
         gm = cfg.G * masses.astype(jnp.float32)
-    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    pos_pad = _pad_positions(positions, n_pad)
     if uniform_gm:
         # No gm row/column: the scalar G*m[0] scales in the epilogue.
         recv = pos_pad
@@ -576,7 +596,7 @@ def pallas_accelerations_streamed(positions, masses, q: Quantizer,
                       math.lcm(block_i, block_j, 128))
 
     positions = positions.astype(jnp.float32)
-    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    pos_pad = _pad_positions(positions, n_pad)
     gmass = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
         cfg.G * masses.astype(jnp.float32))
     src = jnp.concatenate([pos_pad.T, gmass], axis=0)  # (D+1, N_pad)
@@ -688,7 +708,7 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
     n_chunks = n_pad // chunk
 
     positions = positions.astype(jnp.float32)
-    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    pos_pad = _pad_positions(positions, n_pad)
     if gm is None:
         gm = cfg.G * masses.astype(jnp.float32)
     gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
@@ -1116,7 +1136,7 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
                       math.lcm(block_i, block_j, 128))
 
     positions = positions.astype(jnp.float32)
-    pos_pad = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(positions)
+    pos_pad = _pad_positions(positions, n_pad)
     gmass = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
         cfg.G * masses.astype(jnp.float32))
     # Rows 0..D-1: coordinates (lane-major); row D: G*m_j.

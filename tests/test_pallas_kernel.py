@@ -206,6 +206,37 @@ def test_sym_zero_softening_self_mask():
                                rtol=5e-5, atol=2e-6)
 
 
+def test_zero_softening_origin_particle_with_padding():
+    """A real particle at EXACTLY the origin under zero softening, at an
+    N that forces tail padding: zero-filled pads would produce
+    0 * inf = NaN in that particle's row (the id self-mask only covers
+    equal ids); the far-sentinel padding (_PAD_FAR) must keep every
+    kernel finite and exact vs the dense oracle."""
+    from nbody_tpu.ops.pallas_nbody import (
+        pallas_accelerations_streamed,
+        pallas_accelerations_sym,
+    )
+
+    cfg0 = SimConfig(softening=0.0)
+    pos, vel, m = _ics(130)  # 130 pads to every kernel's block quantum
+    pos = pos.at[0].set(0.0)  # exactly at the pad-collision point (origin)
+    q = Quantizer(Precision.FLOAT32)
+    a_ref = forces.dense_accelerations(pos, m, q, cfg0)
+    assert np.isfinite(np.asarray(a_ref)).all()
+    for name, fn in [
+        ("rows", lambda: pallas_accelerations(pos, m, q, cfg0,
+                                              block_i=128, block_j=256)),
+        ("sym", lambda: pallas_accelerations_sym(pos, m, q, cfg0,
+                                                 block=32)),
+        ("streamed", lambda: pallas_accelerations_streamed(
+            pos, m, q, cfg0, block_i=128, block_j=256)),
+    ]:
+        a = np.asarray(fn())
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(a, np.asarray(a_ref),
+                                   rtol=5e-5, atol=2e-6, err_msg=name)
+
+
 def test_sym_dynamic_softening_matches_static():
     pos, vel, m = _ics(200)
     q = Quantizer(Precision.INT4_SIM)
