@@ -85,6 +85,13 @@ Precision modes:
                         "evaluation (K=1 = exact reference semantics; "
                         "K>1 trades a documented bin-edge lag for "
                         "throughput, see docs/PERF.md)")
+    p.add_argument("--ticks-per-dispatch", type=int, default=None,
+                   metavar="T",
+                   help="mesh runs: cap the ticks folded into each "
+                        "device dispatch (identical physics; needed on "
+                        "hosts whose TPU tunnel kills dispatches past a "
+                        "wall-clock watchdog — e.g. ~20 f32 ticks at "
+                        "N=1M on this box, see docs/PERF.md)")
     return p
 
 
@@ -132,7 +139,10 @@ def run_compare(args) -> dict:
         sim = DirectSimulation(positions, velocities, masses, precision=mode,
                                cfg=cfg, force_impl=args.force_impl,
                                mesh=mesh, schedule=schedule,
-                               bounds_every=getattr(args, "bounds_every", 1))
+                               bounds_every=getattr(args, "bounds_every", 1),
+                               ticks_per_dispatch=(
+                                   getattr(args, "ticks_per_dispatch", None)
+                                   if mesh is not None else None))
         snap0 = metrics_lib.snapshot(sim.positions, sim.velocities,
                                      sim.masses, sim.state.tick, cfg)
         t0 = time.time()

@@ -314,7 +314,8 @@ class DirectSimulation:
                  dynamic_params: bool = False,
                  mesh=None,
                  schedule: str = "sym",
-                 bounds_every: int = 1):
+                 bounds_every: int = 1,
+                 ticks_per_dispatch: Optional[int] = None):
         if isinstance(precision, str):
             precision = Quantizer.from_string(precision, custom_levels)
         elif isinstance(precision, Precision):
@@ -358,6 +359,19 @@ class DirectSimulation:
         self.mesh = mesh
         self.schedule = schedule
         self.bounds_every = bounds_every
+        # Host-level dispatch bound for mesh history runs: some
+        # environments kill a single device dispatch past a wall-clock
+        # watchdog (this box's TPU tunnel: ~70-90 s — at N=1M that is
+        # ~20 f32 ticks). None (default) keeps the fully fused
+        # one-dispatch design; an int caps the ticks folded into each
+        # jitted call (whole snapshot chunks), with identical physics —
+        # the only cost is one extra entry force evaluation per dispatch
+        # (acceleration is a pure function of positions).
+        self.ticks_per_dispatch = ticks_per_dispatch
+        if ticks_per_dispatch is not None and mesh is None:
+            raise ValueError("ticks_per_dispatch only applies to mesh "
+                             "runs (single-device scans are already "
+                             "host-chunkable via step()/run())")
         self._n_total = int(jnp.shape(positions)[0])
         # Equal-mass detection (one host fetch at init): unlocks the sym
         # kernels' shared-product fast path (+24% f32 at N=131k). The ring
@@ -488,19 +502,44 @@ class DirectSimulation:
         steps = snapshot_interval if num_ticks >= snapshot_interval else num_ticks
         if self.mesh is not None:
             from nbody_tpu.parallel import ring
-            if self.is_baseline:
-                self.state, snaps, frames = \
-                    ring.run_with_snapshots_sharded_baseline(
-                        self.state, self.cfg, self.mesh, steps, num_chunks,
+
+            def one_call(n_chunks):
+                if self.is_baseline:
+                    st, sn, fr = ring.run_with_snapshots_sharded_baseline(
+                        self.state, self.cfg, self.mesh, steps, n_chunks,
                         num_bins=num_bins, n_total=self._n_total)
+                else:
+                    st, sn, fr = ring.run_with_snapshots_sharded(
+                        self.state, self.quantizer, self.cfg, self.mesh,
+                        steps, n_chunks,
+                        quantize_forces=self.quantize_forces,
+                        num_bins=num_bins, schedule=self.schedule,
+                        n_total=self._n_total,
+                        bounds_every=self.bounds_every,
+                        uniform_gm=self._uniform_gm)
+                self.state = st
+                return sn, fr
+
+            if self.ticks_per_dispatch is None:
+                snaps, frames = one_call(num_chunks)
             else:
-                self.state, snaps, frames = ring.run_with_snapshots_sharded(
-                    self.state, self.quantizer, self.cfg, self.mesh, steps,
-                    num_chunks, quantize_forces=self.quantize_forces,
-                    num_bins=num_bins, schedule=self.schedule,
-                    n_total=self._n_total,
-                    bounds_every=self.bounds_every,
-                    uniform_gm=self._uniform_gm)
+                # Host-level dispatch bound (see __init__): whole snapshot
+                # chunks per jitted call, resident sharded state chained
+                # across calls, outputs concatenated on the chunk axis.
+                per = max(self.ticks_per_dispatch // steps, 1)
+                parts = []
+                done = 0
+                while done < num_chunks:
+                    n = min(per, num_chunks - done)
+                    parts.append(one_call(n))
+                    done += n
+                if len(parts) == 1:
+                    snaps, frames = parts[0]
+                else:
+                    snaps = jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs, axis=0),
+                        *[p[0] for p in parts])
+                    frames = jnp.concatenate([p[1] for p in parts], axis=0)
         elif self.is_baseline:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)

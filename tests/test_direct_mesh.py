@@ -115,6 +115,35 @@ def test_mesh_history_remainder_ticks(mesh8):
     assert sim_m.tick == 11
 
 
+def test_mesh_ticks_per_dispatch_matches_fused(mesh8):
+    """Host-level dispatch chunking (the tunnel-watchdog escape hatch)
+    must reproduce the fused one-dispatch history run exactly: same
+    snapshots, frames, and final state."""
+    pos, vel, m = _ics(250)
+    sim_f = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8)
+    snaps_f, frames_f = sim_f.run_with_history(20, snapshot_interval=5)
+    sim_c = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8,
+                             ticks_per_dispatch=5)  # one chunk per call
+    snaps_c, frames_c = sim_c.run_with_history(20, snapshot_interval=5)
+    assert snaps_c.total.shape == snaps_f.total.shape == (4,)
+    np.testing.assert_allclose(np.asarray(snaps_c.total),
+                               np.asarray(snaps_f.total),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frames_c), np.asarray(frames_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sim_c.positions),
+                               np.asarray(sim_f.positions),
+                               rtol=1e-5, atol=1e-6)
+    assert sim_c.tick == sim_f.tick == 20
+
+
+def test_ticks_per_dispatch_rejected_single_device():
+    pos, vel, m = _ics(32)
+    with pytest.raises(ValueError):
+        DirectSimulation(pos, vel, m, precision="float32",
+                         ticks_per_dispatch=10)
+
+
 def test_mesh_rejects_dynamic_params(mesh8):
     pos, vel, m = _ics(64)
     with pytest.raises(ValueError):
