@@ -51,7 +51,8 @@ STEPS = 10
 def _force_kernel_sym_uniform(bounds_ref, pos_i_ref, src_ref, out_row_ref,
                               out_col_ref, *, q: Quantizer, self_masked: bool,
                               dim: int, block_i: int, block_j: int,
-                              n_pad: int, seed_soft: bool):
+                              n_pad: int, seed_soft: bool,
+                              unroll: int = 1):
     """Uniform-G*m t-form variant of _force_kernel_sym."""
     pid = pl.program_id(0)
     i0 = pid * block_i
@@ -121,19 +122,59 @@ def _force_kernel_sym_uniform(bounds_ref, pos_i_ref, src_ref, out_row_ref,
             new.append(acc[d] + jnp.sum(t, axis=1, keepdims=True))
         return tuple(new)
 
-    acc = jax.lax.fori_loop(sj + 1, num_j, j_chunk, acc0)
+    if unroll <= 1:
+        acc = jax.lax.fori_loop(sj + 1, num_j, j_chunk, acc0)
+    else:
+        # manual 2-wide interleave: two independent tiles per iteration
+        # (dynamic trip count, so lax unroll is unavailable); odd tail
+        # chunk handled by a predicated extra tile
+        total = num_j - (sj + 1)
+        pairs = total // 2
+
+        def j_duo(k, acc):
+            j0 = (sj + 1 + 2 * k) * block_j
+            d_a, w_a = tile(j0)
+            d_b, w_b = tile(j0 + block_j)
+            new = []
+            for d in range(dim):
+                t_a = w_a * d_a[d]
+                t_b = w_b * d_b[d]
+                out_col_ref[d:d + 1, pl.ds(j0, block_j)] += -jnp.sum(
+                    t_a, axis=0, keepdims=True)
+                out_col_ref[d:d + 1, pl.ds(j0 + block_j, block_j)] += \
+                    -jnp.sum(t_b, axis=0, keepdims=True)
+                new.append(acc[d]
+                           + jnp.sum(t_a, axis=1, keepdims=True)
+                           + jnp.sum(t_b, axis=1, keepdims=True))
+            return tuple(new)
+
+        acc = jax.lax.fori_loop(0, pairs, j_duo, acc0)
+
+        @pl.when(total % 2 == 1)
+        def _tail():
+            a2 = j_chunk(num_j - 1, acc)
+            for d in range(dim):
+                out_row_ref[:, d:d + 1] = a2[d]
+
+        @pl.when(total % 2 == 0)
+        def _even():
+            for d in range(dim):
+                out_row_ref[:, d:d + 1] = acc[d]
+        return
     for d in range(dim):
         out_row_ref[:, d:d + 1] = acc[d]
 
 
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
-                                             "block", "block_j", "seed_soft"))
+                                             "block", "block_j", "seed_soft",
+                                             "unroll"))
 def pallas_accelerations_sym_uniform(positions, gm_scalar, q: Quantizer,
                                      cfg: SimConfig,
                                      quantize_forces: bool = True,
                                      block: int | None = None,
                                      block_j: int | None = None,
-                                     seed_soft: bool = False):
+                                     seed_soft: bool = False,
+                                     unroll: int = 1):
     n, dim = positions.shape
     if block is None:
         block = 256 if q.is_int else 512
@@ -164,7 +205,8 @@ def pallas_accelerations_sym_uniform(positions, gm_scalar, q: Quantizer,
     kernel = functools.partial(
         _force_kernel_sym_uniform, q=q,
         self_masked=cfg.softening_sq <= 0.0, dim=dim,
-        block_i=block, block_j=block_j, n_pad=n_pad, seed_soft=seed_soft)
+        block_i=block, block_j=block_j, n_pad=n_pad, seed_soft=seed_soft,
+        unroll=unroll)
 
     grid = (n_pad // block,)
     rows, cols = pl.pallas_call(
@@ -260,6 +302,9 @@ def main():
         measure(f"{mode.value} uniform+seedsoft",
                 lambda p: pallas_accelerations_sym_uniform(
                     p, gm, q, cfg, quantize_forces=qf, seed_soft=True), pos)
+        measure(f"{mode.value} uniform duo-interleave",
+                lambda p: pallas_accelerations_sym_uniform(
+                    p, gm, q, cfg, quantize_forces=qf, unroll=2), pos)
 
 
 if __name__ == "__main__":
