@@ -176,7 +176,19 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
         )
 
     acc0 = tuple(jnp.zeros((block_i, 1), jnp.float32) for _ in range(dim))
-    acc = jax.lax.fori_loop(0, num_j, j_chunk, acc0)
+    # 2-wide interleave (see _force_kernel_sym): two independent tiles
+    # per iteration for cross-tile ILP; static trip count so the odd
+    # tail is a plain Python branch. f16's cast temporaries x2 tiles
+    # overflow the scoped VMEM stack — single-tile loop there.
+    if q.mode.value == "float16":
+        acc = jax.lax.fori_loop(0, num_j, j_chunk, acc0)
+    else:
+        def j_duo(k, acc):
+            return j_chunk(2 * k + 1, j_chunk(2 * k, acc))
+
+        acc = jax.lax.fori_loop(0, num_j // 2, j_duo, acc0)
+        if num_j % 2:
+            acc = j_chunk(num_j - 1, acc)
     for d in range(dim):
         out_ref[:, d:d + 1] = acc[d]
 

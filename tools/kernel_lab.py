@@ -129,34 +129,40 @@ def _force_kernel_sym_uniform(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         # (dynamic trip count, so lax unroll is unavailable); odd tail
         # chunk handled by a predicated extra tile
         total = num_j - (sj + 1)
-        pairs = total // 2
+        pairs = total // unroll
 
         def j_duo(k, acc):
-            j0 = (sj + 1 + 2 * k) * block_j
+            j0 = (sj + 1 + unroll * k) * block_j
             d_a, w_a = tile(j0)
             d_b, w_b = tile(j0 + block_j)
+            tiles = [(d_a, w_a), (d_b, w_b)]
+            for extra in range(2, unroll):
+                tiles.append(tile(j0 + extra * block_j))
             new = []
             for d in range(dim):
-                t_a = w_a * d_a[d]
-                t_b = w_b * d_b[d]
-                out_col_ref[d:d + 1, pl.ds(j0, block_j)] += -jnp.sum(
-                    t_a, axis=0, keepdims=True)
-                out_col_ref[d:d + 1, pl.ds(j0 + block_j, block_j)] += \
-                    -jnp.sum(t_b, axis=0, keepdims=True)
-                new.append(acc[d]
-                           + jnp.sum(t_a, axis=1, keepdims=True)
-                           + jnp.sum(t_b, axis=1, keepdims=True))
+                ts = [w * df[d] for df, w in tiles]
+                for idx, t in enumerate(ts):
+                    out_col_ref[d:d + 1,
+                                pl.ds(j0 + idx * block_j, block_j)] += \
+                        -jnp.sum(t, axis=0, keepdims=True)
+                s_d = acc[d]
+                for t in ts:
+                    s_d = s_d + jnp.sum(t, axis=1, keepdims=True)
+                new.append(s_d)
             return tuple(new)
 
         acc = jax.lax.fori_loop(0, pairs, j_duo, acc0)
+        # remainder tiles (0..unroll-1), predicated
+        for r in range(1, unroll):
+            @pl.when(total % unroll == r)
+            def _tails(r=r):
+                a2 = acc
+                for t_i in range(r):
+                    a2 = j_chunk(num_j - r + t_i, a2)
+                for d in range(dim):
+                    out_row_ref[:, d:d + 1] = a2[d]
 
-        @pl.when(total % 2 == 1)
-        def _tail():
-            a2 = j_chunk(num_j - 1, acc)
-            for d in range(dim):
-                out_row_ref[:, d:d + 1] = a2[d]
-
-        @pl.when(total % 2 == 0)
+        @pl.when(total % unroll == 0)
         def _even():
             for d in range(dim):
                 out_row_ref[:, d:d + 1] = acc[d]
@@ -302,9 +308,10 @@ def main():
         measure(f"{mode.value} uniform+seedsoft",
                 lambda p: pallas_accelerations_sym_uniform(
                     p, gm, q, cfg, quantize_forces=qf, seed_soft=True), pos)
-        measure(f"{mode.value} uniform duo-interleave",
-                lambda p: pallas_accelerations_sym_uniform(
-                    p, gm, q, cfg, quantize_forces=qf, unroll=2), pos)
+        for u in (2, 3, 4):
+            measure(f"{mode.value} uniform {u}-wide",
+                    lambda p, u=u: pallas_accelerations_sym_uniform(
+                        p, gm, q, cfg, quantize_forces=qf, unroll=u), pos)
 
 
 if __name__ == "__main__":
