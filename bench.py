@@ -60,11 +60,14 @@ def main():
         np.asarray(out.positions[:1])  # host-fetch fence (not block_until_ready)
         log(f"{mode.value}: warmup (compile + {STEPS} steps): "
             f"{time.time() - t0:.1f}s")
-        t0 = time.time()
-        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
-                        uniform_gm=uni)
-        np.asarray(out.positions[:1])
-        wall = time.time() - t0
+        wall = None  # best-of-3: tunnel dispatch hiccups can inflate one run
+        for _ in range(3):
+            t0 = time.time()
+            out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
+                            uniform_gm=uni)
+            np.asarray(out.positions[:1])
+            w = time.time() - t0
+            wall = w if wall is None else min(wall, w)
         pairs = n * n * STEPS / wall
         log(f"{mode.value}: N={n} {STEPS} steps: "
             f"{wall / STEPS * 1e3:.2f} ms/step  {pairs:.3e} pairs/s")
@@ -84,11 +87,14 @@ def main():
                         uniform_gm=uni)
         np.asarray(out.positions[:1])
         log(f"int4 bounds_every=4: warmup {time.time() - t0:.1f}s")
-        t0 = time.time()
-        out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4,
-                        uniform_gm=uni)
-        np.asarray(out.positions[:1])
-        wall = time.time() - t0
+        wall = None
+        for _ in range(3):
+            t0 = time.time()
+            out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4,
+                            uniform_gm=uni)
+            np.asarray(out.positions[:1])
+            w = time.time() - t0
+            wall = w if wall is None else min(wall, w)
         pairs = n * n * STEPS / wall
         log(f"int4 bounds_every=4: {wall / STEPS * 1e3:.2f} ms/step  "
             f"{pairs:.3e} pairs/s")
@@ -122,11 +128,14 @@ def main():
                             steps_big, uniform_gm=True)
             np.asarray(out.positions[:1])
             log(f"{mode.value}: N={n_big} warmup {time.time() - t0:.1f}s")
-            t0 = time.time()
-            out = run_steps(state_big, q, cfg, "auto", quantize_forces,
-                            steps_big, uniform_gm=True)
-            np.asarray(out.positions[:1])
-            wall = time.time() - t0
+            wall = None
+            for _ in range(2):
+                t0 = time.time()
+                out = run_steps(state_big, q, cfg, "auto", quantize_forces,
+                                steps_big, uniform_gm=True)
+                np.asarray(out.positions[:1])
+                w = time.time() - t0
+                wall = w if wall is None else min(wall, w)
             pairs = n_big * n_big * steps_big / wall
             log(f"{mode.value}: N={n_big} {steps_big} steps: "
                 f"{wall / steps_big * 1e3:.0f} ms/step  "
