@@ -133,6 +133,12 @@ def run_compare(args) -> dict:
         mesh = ring.make_particle_mesh(n_dev)
         print(f"\nMesh: {mesh.shape[ring.AXIS]} device(s), "
               f"schedule={schedule} (particle-ring sharding)")
+    elif getattr(args, "ticks_per_dispatch", None) is not None:
+        # silently dropping a typed flag would leave the user exposed to
+        # the very watchdog they tried to dodge
+        raise SystemExit("--ticks-per-dispatch requires --mesh (it bounds "
+                         "the sharded runners' dispatches; single-device "
+                         "runs are chunked via the snapshot interval)")
 
     for mode in modes:
         print(f"\n{'=' * 50}\nRunning simulation: {mode.value}\n{'=' * 50}")
@@ -140,9 +146,8 @@ def run_compare(args) -> dict:
                                cfg=cfg, force_impl=args.force_impl,
                                mesh=mesh, schedule=schedule,
                                bounds_every=getattr(args, "bounds_every", 1),
-                               ticks_per_dispatch=(
-                                   getattr(args, "ticks_per_dispatch", None)
-                                   if mesh is not None else None))
+                               ticks_per_dispatch=getattr(
+                                   args, "ticks_per_dispatch", None))
         snap0 = metrics_lib.snapshot(sim.positions, sim.velocities,
                                      sim.masses, sim.state.tick, cfg)
         t0 = time.time()

@@ -60,7 +60,12 @@ def potential_energy(positions, masses, cfg: SimConfig,
         d2 = jnp.sum(diff * diff, axis=-1) + softening_sq
         inv_d = jax.lax.rsqrt(d2)
         pair = m_i[:, None] * masses[None, :] * inv_d
-        mask = ids_i[:, None] != jnp.arange(n)[None, :]
+        # Mask self-pairs AND padded rows: a padded (origin, zero-mass)
+        # row against a real particle at exactly the origin under zero
+        # softening is 0 * rsqrt(0) = NaN, which would poison the summed
+        # tile — the where-select replaces it before the reduction.
+        mask = ((ids_i[:, None] != jnp.arange(n)[None, :])
+                & (ids_i[:, None] < n))
         pair = jnp.where(mask, pair, 0.0)
         s = dd.dd_sum_chunked(pair.reshape(-1))
         return s.hi + s.lo

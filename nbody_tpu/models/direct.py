@@ -293,6 +293,17 @@ def run_with_snapshots_baseline(state: BaselineState, cfg: SimConfig,
     return state, snaps, frames
 
 
+def _concat_chunk_parts(parts):
+    """Concatenate (snaps, frames) pairs from chained history dispatches
+    along the chunk axis."""
+    if len(parts) == 1:
+        return parts[0]
+    snaps = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                         *[p[0] for p in parts])
+    frames = jnp.concatenate([p[1] for p in parts], axis=0)
+    return snaps, frames
+
+
 # --------------------------------------------------------------------------
 # Engine wrapper (reference-parity API)
 # --------------------------------------------------------------------------
@@ -372,6 +383,16 @@ class DirectSimulation:
             raise ValueError("ticks_per_dispatch only applies to mesh "
                              "runs (single-device scans are already "
                              "host-chunkable via step()/run())")
+        if ticks_per_dispatch is not None and bounds_every > 1:
+            # The bounds-reuse counter and cached grid bounds reset at
+            # every dispatch boundary (each call recomputes entry bounds
+            # and restarts k at 0), so the chained run is NOT the fused
+            # run's semantics for int-sim bounds reuse. bounds_every=1
+            # (exact per-evaluation bounds) is dispatch-invariant.
+            raise ValueError("ticks_per_dispatch cannot be combined with "
+                             "bounds_every > 1: the bounds-reuse cadence "
+                             "resets at each dispatch boundary, silently "
+                             "changing the quantization-bounds semantics")
         self._n_total = int(jnp.shape(positions)[0])
         # Equal-mass detection (one host fetch at init): unlocks the sym
         # kernels' shared-product fast path (+24% f32 at N=131k). The ring
@@ -450,6 +471,20 @@ class DirectSimulation:
         return self._trim(self.state.masses)
 
     def step(self, num_steps: int = 1):
+        if (self.mesh is not None and self.ticks_per_dispatch is not None
+                and num_steps > self.ticks_per_dispatch):
+            # Dispatch-duration bound (see __init__): split into <=cap
+            # jitted calls; identical physics (the entry force recompute
+            # is a pure function of positions).
+            done = 0
+            while done < num_steps:
+                n = min(self.ticks_per_dispatch, num_steps - done)
+                self._step_dispatch(n)
+                done += n
+            return
+        self._step_dispatch(num_steps)
+
+    def _step_dispatch(self, num_steps: int):
         if self.mesh is not None:
             from nbody_tpu.parallel import ring
             if self.is_baseline:
@@ -503,15 +538,15 @@ class DirectSimulation:
         if self.mesh is not None:
             from nbody_tpu.parallel import ring
 
-            def one_call(n_chunks):
+            def one_call(n_chunks, chunk_steps):
                 if self.is_baseline:
                     st, sn, fr = ring.run_with_snapshots_sharded_baseline(
-                        self.state, self.cfg, self.mesh, steps, n_chunks,
-                        num_bins=num_bins, n_total=self._n_total)
+                        self.state, self.cfg, self.mesh, chunk_steps,
+                        n_chunks, num_bins=num_bins, n_total=self._n_total)
                 else:
                     st, sn, fr = ring.run_with_snapshots_sharded(
                         self.state, self.quantizer, self.cfg, self.mesh,
-                        steps, n_chunks,
+                        chunk_steps, n_chunks,
                         quantize_forces=self.quantize_forces,
                         num_bins=num_bins, schedule=self.schedule,
                         n_total=self._n_total,
@@ -520,26 +555,32 @@ class DirectSimulation:
                 self.state = st
                 return sn, fr
 
-            if self.ticks_per_dispatch is None:
-                snaps, frames = one_call(num_chunks)
-            else:
-                # Host-level dispatch bound (see __init__): whole snapshot
-                # chunks per jitted call, resident sharded state chained
-                # across calls, outputs concatenated on the chunk axis.
-                per = max(self.ticks_per_dispatch // steps, 1)
+            tpd = self.ticks_per_dispatch
+            if tpd is None:
+                snaps, frames = one_call(num_chunks, steps)
+            elif steps <= tpd:
+                # Whole snapshot chunks per jitted call (as many as fit
+                # the cap), resident sharded state chained across calls,
+                # outputs concatenated on the chunk axis.
+                per = max(tpd // steps, 1)
                 parts = []
                 done = 0
                 while done < num_chunks:
                     n = min(per, num_chunks - done)
-                    parts.append(one_call(n))
+                    parts.append(one_call(n, steps))
                     done += n
-                if len(parts) == 1:
-                    snaps, frames = parts[0]
-                else:
-                    snaps = jax.tree.map(
-                        lambda *xs: jnp.concatenate(xs, axis=0),
-                        *[p[0] for p in parts])
-                    frames = jnp.concatenate([p[1] for p in parts], axis=0)
+                snaps, frames = _concat_chunk_parts(parts)
+            else:
+                # Cap below the snapshot interval: advance each chunk's
+                # leading ticks with capped step() dispatches, then one
+                # <=cap snapshot call lands the Snapshot exactly at the
+                # chunk boundary (its tick counter rides state.tick).
+                tail = steps % tpd or tpd
+                parts = []
+                for _ in range(num_chunks):
+                    self.step(steps - tail)
+                    parts.append(one_call(1, tail))
+                snaps, frames = _concat_chunk_parts(parts)
         elif self.is_baseline:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)

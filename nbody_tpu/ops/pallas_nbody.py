@@ -62,6 +62,13 @@ def _round_up(x: int, m: int) -> int:
 # plausible real coordinate (crash experiments push positions to ~1e6).
 _PAD_FAR = 2.0e18
 
+# Grid-resident VMEM budget for the sym kernels' source (+ reaction)
+# arrays — the single authority for "does this source set fit resident,
+# or must it chunk": used by pallas_accelerations_sym_chunked's chunk
+# sizing here AND (via import) by parallel/ring's tile routing, so the
+# two can never drift apart.
+SYM_RESIDENT_VMEM_BUDGET = 10_500_000
+
 
 def _pad_positions(positions, n_pad: int):
     n, dim = positions.shape
@@ -738,12 +745,12 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
     n, dim = positions.shape
     if chunk is None:
         # Largest chunk whose grid-resident arrays (the (D+1, chunk)
-        # source + (D, chunk) reaction buffer) fit ~10.5 MB of VMEM,
-        # then the chunk count that minimises tail padding. Measured at
-        # N=1M 2-D with the 256x2048 pair tiles: 2x524288 chunks hit
-        # 3.49e11 pairs/s f32 (4x262144 and padded 3-chunk layouts
-        # measured slower; docs/PERF.md).
-        max_chunk = 10_500_000 // (4 * (2 * dim + 1))
+        # source + (D, chunk) reaction buffer) fit the shared VMEM
+        # residency budget, then the chunk count that minimises tail
+        # padding. Measured at N=1M 2-D with the 256x2048 pair tiles:
+        # 2x524288 chunks hit 3.49e11 pairs/s f32 (4x262144 and padded
+        # 3-chunk layouts measured slower; docs/PERF.md).
+        max_chunk = SYM_RESIDENT_VMEM_BUDGET // (4 * (2 * dim + 1))
         n_chunks = -(-n // max(max_chunk, 512))
         chunk = -(-n // n_chunks)
     chunk = _round_up(min(chunk, n), math.lcm(512, 128))

@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nbody_tpu.config import SimConfig
 from nbody_tpu.diagnostics import metrics as metrics_lib
 from nbody_tpu.models.state import BaselineState, ParticleState
+from nbody_tpu.ops.pallas_nbody import _PAD_FAR, SYM_RESIDENT_VMEM_BUDGET
 from nbody_tpu.ops import doubledouble as dd
 from nbody_tpu.ops.precision import (
     Quantizer,
@@ -47,8 +48,11 @@ AXIS = "shards"
 # SOURCE-CHUNKED tiles (several kernel launches per ring step) instead of
 # failing Mosaic compilation — the multi-chip analog of the single-device
 # pallas_sym_chunked ladder (models/direct._resolve_impl). ~525k 2-D
-# particles per shard at the default budget.
-_VMEM_RESIDENT_BUDGET = 10_500_000
+# particles per shard at the default budget. The value is owned by
+# ops/pallas_nbody (the kernels' own chunk sizing uses the same number);
+# tests monkeypatch THIS module attribute to force the chunked routing
+# at CPU scale.
+_VMEM_RESIDENT_BUDGET = SYM_RESIDENT_VMEM_BUDGET
 
 # HBM cap for the jnp broadcast tiles of the energy/dd ring passes: the
 # (rb, B, D) intermediate at e.g. B=1M with the default 1024-row blocks
@@ -257,7 +261,7 @@ def _pe_rows_pallas_chunked(pos_i, m_i, ids_i, pos_j, m_j, ids_j,
 
 
 def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
-                   row_block: int = 1024):
+                   row_block: int = 1024, ids_f32_exact: bool = True):
     """Pairwise potential energy via the same ppermute ring, per device.
 
     U = -G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2)
@@ -278,7 +282,11 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
     axis_size = jax.lax.psum(1, AXIS)
     b, dim = pos_local.shape
 
-    use_pallas_pe = cfg.softening_sq > 0.0 and (
+    # ids_f32_exact: the Pallas tile carries ids as f32 and tests
+    # EQUALITY — exact only below 2^24, where the caller (which knows the
+    # padded global N) must disable it or adjacent ids would collide and
+    # silently drop real pair terms.
+    use_pallas_pe = cfg.softening_sq > 0.0 and ids_f32_exact and (
         _PE_TILE_IMPL == "pallas"
         or (_PE_TILE_IMPL == "auto" and jax.default_backend() == "tpu"
             and b >= _PE_PALLAS_MIN_SHARD))
@@ -302,7 +310,13 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
 
     rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
-    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
+    # Row-block pads sit at the NEGATIVE far sentinel: zero-filled pads
+    # at the origin hit rsqrt(0) = inf against a real particle at the
+    # origin under zero softening (0 * inf = NaN poisons the whole sum),
+    # and +_PAD_FAR would coincide with the shard's phantom rows — the
+    # opposite sign keeps every pad/phantom/real distance finite.
+    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)),
+                    constant_values=-_PAD_FAR)
     # Padded receiver rows get zero mass so they drop out of the sum.
     m_i = jnp.pad(m_local, (0, pad))
     # Padded receiver ids collide with nothing (they sit past every real
@@ -319,7 +333,15 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
             diff = pos_j[None, :, :] - p_i[:, None, :]  # (rb, B, D)
             d2 = jnp.sum(diff * diff, axis=-1) + cfg.softening_sq
             pair = mm_i[:, None] * m_j[None, :] * jax.lax.rsqrt(d2)
-            pair = jnp.where(ii[:, None] == ids_j[None, :], 0.0, pair)
+            # Self-pairs AND padding/phantom pairs are masked by id:
+            # unlike the force tiles (per-row outputs, phantom rows
+            # zeroed afterwards), this tile reduces to one scalar, so a
+            # phantom-vs-phantom 0 * rsqrt(0) = NaN (coincident sentinel
+            # positions under zero softening) would poison the whole sum.
+            invalid = ((ii[:, None] == ids_j[None, :])
+                       | (ii[:, None] >= n_total)
+                       | (ids_j[None, :] >= n_total))
+            pair = jnp.where(invalid, 0.0, pair)
             s_dd = dd.dd_sum_chunked(pair.reshape(-1))
             return s_dd.hi + s_dd.lo
 
@@ -599,7 +621,9 @@ def _ring_accelerations_dd_local(pos_local, gm_local, ids_local, n_total,
     b, dim = pos_local.shape
     rb = _clamp_row_block(row_block, b, dim)
     pad = (-b) % rb
-    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)))
+    # Negative far-sentinel row pads: see _ring_pe_local.
+    pos_i = jnp.pad(pos_local, ((0, pad), (0, 0)),
+                    constant_values=-_PAD_FAR)
     ids_i = jnp.pad(ids_local, (0, pad),
                     constant_values=jnp.iinfo(jnp.int32).max)
     row_blocks = (pos_i.reshape(-1, rb, dim), ids_i.reshape(-1, rb))
@@ -639,6 +663,13 @@ def _ring_accelerations_dd_local(pos_local, gm_local, ids_local, n_total,
 
 
 def _pad_to_shards(x, n_shards, fill=0.0):
+    """Pad the leading axis to a multiple of n_shards. POSITION arrays
+    must pass fill=_PAD_FAR: a phantom at the origin under zero softening
+    collides with any real particle at the origin (rsqrt(0) = inf, and
+    0 * inf = NaN slips past the gm=0 guard — the same hazard the
+    single-device kernels fixed with far-sentinel padding). At the far
+    sentinel every phantom pair weight is finite/zero in all modes, and
+    the bounds/PE masks already exclude phantoms by id."""
     n = x.shape[0]
     pad = (-n) % n_shards
     if pad:
@@ -755,7 +786,7 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     dim = state.positions.shape[1]
     n_shards = mesh.shape[AXIS]
 
-    pos = _pad_to_shards(state.positions, n_shards)
+    pos = _pad_to_shards(state.positions, n_shards, fill=_PAD_FAR)
     if pos.shape[0] != n_total:
         uniform_gm = False  # phantom rows need gm=0 to stay inert
     vel = _pad_to_shards(state.velocities, n_shards)
@@ -765,6 +796,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
 
     pspec = P(AXIS)
     bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
+    # Pallas PE tile carries ids as f32: exact only below 2^24 total rows.
+    ids_exact = pos.shape[0] <= (1 << 24)
 
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l):
         force, bounds_of, b0 = _make_ring_force(
@@ -786,7 +819,8 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
             v_sq = jnp.sum(v * v, axis=-1)
             ke_dd = dd.dd_dot_f32(m_l * valid, v_sq)
             ke = 0.5 * jax.lax.psum(ke_dd.hi + ke_dd.lo, AXIS)
-            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg)
+            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg,
+                                ids_f32_exact=ids_exact)
             return carry, EnergyStream(ke, pe, ke + pe)
 
         carry0 = (pos_l, vel_l, acc_l, b0, jnp.asarray(0, jnp.int32))
@@ -856,12 +890,13 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
     """
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
-    pos = _pad_to_shards(positions, n_shards)
+    pos = _pad_to_shards(positions, n_shards, fill=_PAD_FAR)
     m = _pad_to_shards(masses, n_shards)
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
 
     fn = shard_map(
-        functools.partial(_ring_pe_local, n_total=n_total, cfg=cfg),
+        functools.partial(_ring_pe_local, n_total=n_total, cfg=cfg,
+                          ids_f32_exact=pos.shape[0] <= (1 << 24)),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
         out_specs=P(),
@@ -888,7 +923,7 @@ def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
     auto-disabled on phantom-padded layouts)."""
     n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
-    pos = _pad_to_shards(positions, n_shards)
+    pos = _pad_to_shards(positions, n_shards, fill=_PAD_FAR)
     if pos.shape[0] != n_total:
         uniform_gm = False  # phantom rows need gm=0 to stay inert
     gmass = cfg.G * _pad_to_shards(masses, n_shards)
@@ -922,7 +957,7 @@ def ring_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
 
 def _pad_baseline_to_shards(state: BaselineState, n_shards: int):
     """Pad every leaf of a BaselineState to the shard boundary."""
-    ph = _pad_to_shards(state.positions.hi, n_shards)
+    ph = _pad_to_shards(state.positions.hi, n_shards, fill=_PAD_FAR)
     pl = _pad_to_shards(state.positions.lo, n_shards)
     vh = _pad_to_shards(state.velocities.hi, n_shards)
     vl = _pad_to_shards(state.velocities.lo, n_shards)
@@ -1052,7 +1087,7 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
     if n_total is None:
         n_total = state.positions.shape[0]
     n_shards = mesh.shape[AXIS]
-    pos = _pad_to_shards(state.positions, n_shards)
+    pos = _pad_to_shards(state.positions, n_shards, fill=_PAD_FAR)
     if pos.shape[0] != n_total:
         uniform_gm = False  # phantom rows need gm=0 to stay inert
     vel = _pad_to_shards(state.velocities, n_shards)
@@ -1061,6 +1096,7 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
     ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
     pspec = P(AXIS)
     bounds_reuse = q.is_int and bounds_every > 1 and schedule == "sym"
+    ids_exact = pos.shape[0] <= (1 << 24)  # f32-id PE tile exactness
 
     def device_fn(pos_l, vel_l, gm_l, m_l, ids_l, tick0):
         force, bounds_of, b0 = _make_ring_force(
@@ -1078,7 +1114,8 @@ def run_with_snapshots_sharded(state: ParticleState, q: Quantizer,
             pg = jax.lax.all_gather(p, AXIS, tiled=True)[:n_total]
             vg = jax.lax.all_gather(v, AXIS, tiled=True)[:n_total]
             ke = metrics_lib.kinetic_energy(vg, m_full)
-            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg)
+            pe = _ring_pe_local(p, m_l, ids_l, n_total, cfg,
+                                ids_f32_exact=ids_exact)
             tick = tick0 + (i + 1) * steps_per_chunk
             snap = _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg,
                                     num_bins)
@@ -1122,6 +1159,7 @@ def run_with_snapshots_sharded_baseline(state: BaselineState, cfg: SimConfig,
     gmass = cfg.G * m
     ids = jnp.arange(ph.shape[0], dtype=jnp.int32)
     pspec = P(AXIS)
+    ids_exact = ph.shape[0] <= (1 << 24)  # f32-id PE tile exactness
 
     def device_fn(ph_l, pl_l, vh_l, vl_l, gm_l, m_l, ids_l, tick0):
         def force(p_f32):
@@ -1140,7 +1178,8 @@ def run_with_snapshots_sharded_baseline(state: BaselineState, cfg: SimConfig,
             pg = jax.lax.all_gather(p32, AXIS, tiled=True)[:n_total]
             vg = jax.lax.all_gather(v32, AXIS, tiled=True)[:n_total]
             ke = metrics_lib.kinetic_energy(vg, m_full)
-            pe = _ring_pe_local(p32, m_l, ids_l, n_total, cfg)
+            pe = _ring_pe_local(p32, m_l, ids_l, n_total, cfg,
+                                ids_f32_exact=ids_exact)
             tick = tick0 + (i + 1) * steps_per_chunk
             snap = _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg,
                                     num_bins)

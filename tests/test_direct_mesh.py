@@ -115,17 +115,23 @@ def test_mesh_history_remainder_ticks(mesh8):
     assert sim_m.tick == 11
 
 
-def test_mesh_ticks_per_dispatch_matches_fused(mesh8):
+@pytest.mark.parametrize("tpd", [5, 3])
+def test_mesh_ticks_per_dispatch_matches_fused(mesh8, tpd):
     """Host-level dispatch chunking (the tunnel-watchdog escape hatch)
     must reproduce the fused one-dispatch history run exactly: same
-    snapshots, frames, and final state."""
+    snapshots, frames, final state, and tick counters — both for whole
+    chunks per call (tpd=interval) and for caps BELOW the snapshot
+    interval (tpd=3 < 5: capped step() pre-ticks + a <=cap snapshot
+    call per chunk)."""
     pos, vel, m = _ics(250)
     sim_f = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8)
     snaps_f, frames_f = sim_f.run_with_history(20, snapshot_interval=5)
     sim_c = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8,
-                             ticks_per_dispatch=5)  # one chunk per call
+                             ticks_per_dispatch=tpd)
     snaps_c, frames_c = sim_c.run_with_history(20, snapshot_interval=5)
     assert snaps_c.total.shape == snaps_f.total.shape == (4,)
+    np.testing.assert_allclose(np.asarray(snaps_c.tick),
+                               np.asarray(snaps_f.tick))
     np.testing.assert_allclose(np.asarray(snaps_c.total),
                                np.asarray(snaps_f.total),
                                rtol=1e-6, atol=1e-6)
@@ -137,11 +143,35 @@ def test_mesh_ticks_per_dispatch_matches_fused(mesh8):
     assert sim_c.tick == sim_f.tick == 20
 
 
+def test_mesh_ticks_per_dispatch_caps_step(mesh8):
+    """step() must honor the dispatch cap too (the watchdog applies to
+    any entry point, not just history runs)."""
+    pos, vel, m = _ics(250)
+    sim_f = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8)
+    sim_f.step(10)
+    sim_c = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8,
+                             ticks_per_dispatch=4)  # 4 + 4 + 2
+    sim_c.step(10)
+    assert sim_c.tick == sim_f.tick == 10
+    np.testing.assert_allclose(np.asarray(sim_c.positions),
+                               np.asarray(sim_f.positions),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_ticks_per_dispatch_rejected_single_device():
     pos, vel, m = _ics(32)
     with pytest.raises(ValueError):
         DirectSimulation(pos, vel, m, precision="float32",
                          ticks_per_dispatch=10)
+
+
+def test_ticks_per_dispatch_rejects_bounds_reuse(mesh8):
+    """The bounds-reuse cadence resets at dispatch boundaries, so the
+    combination silently changes int-sim semantics — must be loud."""
+    pos, vel, m = _ics(64)
+    with pytest.raises(ValueError):
+        DirectSimulation(pos, vel, m, precision="int4", mesh=mesh8,
+                         bounds_every=4, ticks_per_dispatch=10)
 
 
 def test_mesh_rejects_dynamic_params(mesh8):

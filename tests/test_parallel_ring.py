@@ -48,6 +48,28 @@ def test_ring_force_unaligned_n(mesh8):
                                rtol=5e-5, atol=2e-6)
 
 
+def test_ring_zero_softening_origin_particle_with_phantoms(mesh8):
+    """Zero softening + unaligned N (phantom padding rows) + a real
+    particle at exactly the origin: origin-filled phantoms would produce
+    0*inf = NaN in real force rows and in the PE ring (phantom-phantom
+    rsqrt(0)); the far-sentinel phantom fill must keep both exact."""
+    from nbody_tpu.diagnostics.metrics import potential_energy
+
+    cfg0 = SimConfig(softening=0.0)
+    pos, vel, m = _ics(250)
+    pos = pos.at[0].set(0.0)
+    q = Quantizer(Precision.FLOAT32)
+    a_ring = ring.ring_accelerations(pos, m, q, cfg0, mesh8)
+    assert np.isfinite(np.asarray(a_ring)).all()
+    a_ref = forces.dense_accelerations(pos, m, q, cfg0)
+    np.testing.assert_allclose(np.asarray(a_ring), np.asarray(a_ref),
+                               rtol=5e-5, atol=2e-6)
+    pe_ring = float(ring.ring_potential_energy(pos, m, cfg0, mesh8))
+    pe_ref = float(potential_energy(pos, m, cfg0))
+    assert np.isfinite(pe_ring)
+    np.testing.assert_allclose(pe_ring, pe_ref, rtol=1e-5)
+
+
 def test_sharded_run_matches_single_device(mesh8):
     """A sharded leapfrog run must track the single-device engine."""
     pos, vel, m = _ics(256)
@@ -101,7 +123,13 @@ def test_ring_potential_energy_matches_single_device(mesh8):
 def test_ring_potential_energy_pallas_tile(monkeypatch):
     """The Pallas pair-PE tile (production TPU path, interpret mode on
     CPU) must match the single-device reduction, including unaligned N
-    (phantom padding) and the source-chunked large-shard path."""
+    (phantom padding) and the source-chunked large-shard path.
+
+    NOTE on the monkeypatched module globals (_PE_TILE_IMPL, budget,
+    chunk floor): they are read at TRACE time, and the jitted wrappers
+    cache by (function, shapes, statics) — these (mesh2, N) combos must
+    stay unique to this test or a cached trace from another test would
+    silently bypass the patched path (and vice versa)."""
     from nbody_tpu.diagnostics.metrics import potential_energy
 
     monkeypatch.setattr(ring, "_PE_TILE_IMPL", "pallas")
