@@ -52,22 +52,31 @@ def main():
     m_host = np.asarray(m)
     uni = bool((m_host == m_host[0]).all())
 
-    def measure(mode, quantize_forces):
-        q = Quantizer(mode)
-        t0 = time.time()
-        out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
-                        uniform_gm=uni)
-        np.asarray(out.positions[:1])  # host-fetch fence (not block_until_ready)
-        log(f"{mode.value}: warmup (compile + {STEPS} steps): "
-            f"{time.time() - t0:.1f}s")
-        wall = None  # best-of-3: tunnel dispatch hiccups can inflate one run
-        for _ in range(3):
+
+    def best_of(k, fn):
+        """Best-of-k wall time of fn() (host-fetch fenced): one tunnel
+        dispatch hiccup must not define the recorded number."""
+        wall = None
+        for _ in range(k):
             t0 = time.time()
-            out = run_steps(state, q, cfg, impl, quantize_forces, STEPS,
-                            uniform_gm=uni)
+            out = fn()
             np.asarray(out.positions[:1])
             w = time.time() - t0
             wall = w if wall is None else min(wall, w)
+        return wall
+
+    def measure(mode, quantize_forces):
+        q = Quantizer(mode)
+
+        def one():
+            return run_steps(state, q, cfg, impl, quantize_forces, STEPS,
+                             uniform_gm=uni)
+
+        t0 = time.time()
+        np.asarray(one().positions[:1])  # host-fetch fence (warm/compile)
+        log(f"{mode.value}: warmup (compile + {STEPS} steps): "
+            f"{time.time() - t0:.1f}s")
+        wall = best_of(3, one)
         pairs = n * n * STEPS / wall
         log(f"{mode.value}: N={n} {STEPS} steps: "
             f"{wall / STEPS * 1e3:.2f} ms/step  {pairs:.3e} pairs/s")
@@ -87,14 +96,9 @@ def main():
                         uniform_gm=uni)
         np.asarray(out.positions[:1])
         log(f"int4 bounds_every=4: warmup {time.time() - t0:.1f}s")
-        wall = None
-        for _ in range(3):
-            t0 = time.time()
-            out = run_steps(state, q, cfg, impl, True, STEPS, bounds_every=4,
-                            uniform_gm=uni)
-            np.asarray(out.positions[:1])
-            w = time.time() - t0
-            wall = w if wall is None else min(wall, w)
+        wall = best_of(3, lambda: run_steps(state, q, cfg, impl, True,
+                                            STEPS, bounds_every=4,
+                                            uniform_gm=uni))
         pairs = n * n * STEPS / wall
         log(f"int4 bounds_every=4: {wall / STEPS * 1e3:.2f} ms/step  "
             f"{pairs:.3e} pairs/s")
@@ -128,14 +132,9 @@ def main():
                             steps_big, uniform_gm=True)
             np.asarray(out.positions[:1])
             log(f"{mode.value}: N={n_big} warmup {time.time() - t0:.1f}s")
-            wall = None
-            for _ in range(2):
-                t0 = time.time()
-                out = run_steps(state_big, q, cfg, "auto", quantize_forces,
-                                steps_big, uniform_gm=True)
-                np.asarray(out.positions[:1])
-                w = time.time() - t0
-                wall = w if wall is None else min(wall, w)
+            wall = best_of(2, lambda: run_steps(state_big, q, cfg, "auto",
+                                                quantize_forces, steps_big,
+                                                uniform_gm=True))
             pairs = n_big * n_big * steps_big / wall
             log(f"{mode.value}: N={n_big} {steps_big} steps: "
                 f"{wall / steps_big * 1e3:.0f} ms/step  "

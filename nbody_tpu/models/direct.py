@@ -383,6 +383,10 @@ class DirectSimulation:
             raise ValueError("ticks_per_dispatch only applies to mesh "
                              "runs (single-device scans are already "
                              "host-chunkable via step()/run())")
+        if ticks_per_dispatch is not None and ticks_per_dispatch < 1:
+            # 0 would spin step()'s capped loop forever (min(0, rest)
+            # never advances) and divide-by-zero the history split
+            raise ValueError("ticks_per_dispatch must be >= 1")
         if ticks_per_dispatch is not None and bounds_every > 1:
             # The bounds-reuse counter and cached grid bounds reset at
             # every dispatch boundary (each call recomputes entry bounds
@@ -604,12 +608,14 @@ class DirectSimulation:
     def get_potential_energy(self) -> float:
         if self.mesh is not None:
             # O(N^2) pair sum stays sharded (ppermute energy ring);
-            # phantom padding rows carry zero mass and drop out.
+            # phantom padding rows are id-masked past n_total (the
+            # resident state is padded after the first step()).
             from nbody_tpu.parallel import ring
             return float(ring.ring_potential_energy(
                 self.state.positions.to_f32() if self.is_baseline
                 else self.state.positions,
-                self.state.masses, self.cfg, self.mesh))
+                self.state.masses, self.cfg, self.mesh,
+                n_total=self._n_total))
         return float(metrics_lib.potential_energy(
             self.positions, self.masses, self.cfg,
             softening_sq=self._dyn_soft_sq))

@@ -879,16 +879,24 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     return new_state, energies
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "n_total"))
+def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh,
+                          n_total: int | None = None):
     """Sharded pairwise potential energy (library entry).
 
     Multi-chip equivalent of diagnostics.metrics.potential_energy
     (reference semantics: simulation.py:176-192): particles sharded over
     the mesh, pair terms accumulated by a ppermute ring with compensated
     sums, halved full-matrix discipline, psum'd to a replicated scalar.
+
+    ``n_total`` marks the real particle count when ``positions`` is an
+    already-padded resident state (a gather=False run being probed):
+    rows past it are phantoms and must be id-masked — inferring the
+    count from the padded shape would treat coincident sentinel phantoms
+    as real pairs (0 * rsqrt(0) = NaN under zero softening).
     """
-    n_total = positions.shape[0]
+    if n_total is None:
+        n_total = positions.shape[0]
     n_shards = mesh.shape[AXIS]
     pos = _pad_to_shards(positions, n_shards, fill=_PAD_FAR)
     m = _pad_to_shards(masses, n_shards)

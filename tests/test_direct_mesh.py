@@ -165,6 +165,34 @@ def test_ticks_per_dispatch_rejected_single_device():
                          ticks_per_dispatch=10)
 
 
+def test_ticks_per_dispatch_rejects_nonpositive(mesh8):
+    """0 would spin step()'s capped loop forever and divide-by-zero the
+    history split — must be rejected at construction."""
+    pos, vel, m = _ics(32)
+    with pytest.raises(ValueError):
+        DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8,
+                         ticks_per_dispatch=0)
+
+
+def test_mesh_resident_state_energy_zero_softening(mesh8):
+    """get_potential_energy on the RESIDENT (padded) state after step():
+    n_total must be threaded so the coincident-sentinel phantom rows are
+    id-masked — inferring it from the padded shape returned NaN under
+    zero softening (0 * rsqrt(0) phantom pairs)."""
+    pos, vel, m = _ics(250)  # 250 % 8 != 0 -> phantoms after step()
+    sim = DirectSimulation(pos, vel, m, precision="float32", mesh=mesh8,
+                           softening=0.0)
+    pe0 = sim.get_potential_energy()
+    assert np.isfinite(pe0)
+    sim.step(2)  # state now padded + resident
+    pe1 = sim.get_potential_energy()
+    assert np.isfinite(pe1)
+    ref = DirectSimulation(pos, vel, m, precision="float32",
+                           force_impl="dense", softening=0.0)
+    ref.step(2)
+    np.testing.assert_allclose(pe1, ref.get_potential_energy(), rtol=1e-4)
+
+
 def test_ticks_per_dispatch_rejects_bounds_reuse(mesh8):
     """The bounds-reuse cadence resets at dispatch boundaries, so the
     combination silently changes int-sim semantics — must be loud."""
