@@ -35,8 +35,29 @@ import jax as _jax
 # COMPILED programs never exhibit it (compile latency naturally serializes
 # the first dispatches), so virtual-mesh runs always compile
 # (see tests/conftest.py for the full diagnosis).
-_virtual_mesh_cpu = ("xla_force_host_platform_device_count"
-                     in _os.environ.get("XLA_FLAGS", ""))
+def _multi_device_cpu_configured() -> bool:
+    """True when the process is configured for a multi-device virtual CPU
+    mesh by ANY of the supported knobs — not just the XLA_FLAGS literal
+    (advisor r3: jax_num_cpu_devices configures the same topology without
+    touching XLA_FLAGS and must disable the cache the same way). Checked
+    without initializing backends (config reads only)."""
+    if "xla_force_host_platform_device_count" in _os.environ.get(
+            "XLA_FLAGS", ""):
+        return True
+    try:
+        env = int(_os.environ.get("JAX_NUM_CPU_DEVICES", "") or 0)
+    except ValueError:
+        env = 0
+    if env > 1:
+        return True
+    try:
+        cfg = int(getattr(_jax.config, "jax_num_cpu_devices", 0) or 0)
+    except Exception:  # pragma: no cover - config knob absent
+        cfg = 0
+    return cfg > 1
+
+
+_virtual_mesh_cpu = _multi_device_cpu_configured()
 if not _os.environ.get("NBODY_TPU_NO_CACHE") and not _virtual_mesh_cpu:
     _cache_dir = _os.environ.get(
         "NBODY_TPU_CACHE_DIR",

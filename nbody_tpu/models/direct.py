@@ -131,6 +131,20 @@ def leapfrog_step_baseline(state: BaselineState, cfg: SimConfig) -> BaselineStat
 _BOUNDS_REUSE_IMPLS = ("dense", "tiled", "pallas")
 
 
+def _guard_state_uniform_gm(fn):
+    """Reject ``uniform_gm=True`` with concrete unequal masses at the
+    run-loop surface (the kernels guard their own direct callers; this
+    covers the ParticleState-shaped entries). Traced states skip the
+    check, as before (see ops.pallas_nbody.check_uniform_gm)."""
+    @functools.wraps(fn)
+    def wrapper(state, *args, **kwargs):
+        if kwargs.get("uniform_gm"):
+            from nbody_tpu.ops.pallas_nbody import check_uniform_gm
+            check_uniform_gm(getattr(state, "masses", None))
+        return fn(state, *args, **kwargs)
+    return wrapper
+
+
 def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
                        quantize_forces: bool, n: int, dim: int,
                        bounds_every: int, dt=None, softening_sq=None,
@@ -185,6 +199,7 @@ def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
     return body, carry0
 
 
+@_guard_state_uniform_gm
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "num_steps",
                                              "bounds_every", "uniform_gm"))
@@ -232,6 +247,7 @@ def run_steps_baseline(state: BaselineState, cfg: SimConfig,
     return state
 
 
+@_guard_state_uniform_gm
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "steps_per_chunk",
                                              "num_chunks", "num_bins",
@@ -615,7 +631,7 @@ class DirectSimulation:
                 self.state.positions.to_f32() if self.is_baseline
                 else self.state.positions,
                 self.state.masses, self.cfg, self.mesh,
-                n_total=self._n_total))
+                n_total=self._n_total, compensated=self.is_baseline))
         return float(metrics_lib.potential_energy(
             self.positions, self.masses, self.cfg,
             softening_sq=self._dyn_soft_sq))

@@ -76,6 +76,62 @@ def _pad_positions(positions, n_pad: int):
                     jnp.float32).at[:n].set(positions)
 
 
+def check_uniform_gm(values, what: str = "masses") -> None:
+    """Host-side guard for the ``uniform_gm=True`` equal-mass fast path.
+
+    The fast-path kernels scale every pair by the FIRST entry's G*m —
+    passing unequal masses would be silently wrong physics, not an error
+    (this module's own round-3 docstrings said as much). Whenever the
+    values are host-visible (concrete, i.e. outside any enclosing jit
+    trace) they are cheap to inspect, so reject the mismatch loudly.
+    Traced values (an outer jit/scan body) cannot be inspected: there the
+    assertion remains the caller's, exactly as before — in practice that
+    caller is DirectSimulation/ring's auto-detection, which already
+    checked the concrete masses once at init.
+    """
+    if values is None or isinstance(values, jax.core.Tracer):
+        return
+    import numpy as np
+    m = np.asarray(values)
+    if m.size and not (m == m.flat[0]).all():
+        raise ValueError(
+            f"uniform_gm=True asserts ALL {what} are equal, but the "
+            f"concrete {what} differ (min {m.min()!r}, max {m.max()!r}): "
+            f"the fast path would silently scale every pair by "
+            f"{what}[0]. Pass uniform_gm=False (the general kernel), or "
+            f"let DirectSimulation auto-detect equal masses.")
+
+
+def _guard_uniform_gm(*groups):
+    """Decorator (applied OUTSIDE jax.jit) validating the uniform_gm
+    fast-path assertion against concrete inputs before dispatch.
+
+    Each group is ``(label, lookups)``: lookups are tried in order (a str
+    looks up a keyword, an int a positional arg) and the FIRST non-None
+    value is checked — e.g. an explicit ``gm=`` overrides ``masses``.
+    Only fires when ``uniform_gm=True`` is passed by keyword (every call
+    site in this repo does; a positional pass keeps the old
+    caller-asserted semantics). Each group is checked independently: the
+    pair tiles scale rows/columns by their own set's leading G*m, so
+    per-set uniformity is the actual kernel contract."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if kwargs.get("uniform_gm"):
+                for label, lookups in groups:
+                    val = None
+                    for lk in lookups:
+                        v = (kwargs.get(lk) if isinstance(lk, str)
+                             else (args[lk] if lk < len(args) else None))
+                        if v is not None:
+                            val = v
+                            break
+                    check_uniform_gm(val, what=label)
+            return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 def _pick_block_j(n_j: int, cap: int = 2048, max_waste: float = 0.125) -> int:
     """Largest power-of-two lane-slice width <= cap whose padding of an
     n_j-row source stays under max_waste. Padded source lanes are
@@ -350,6 +406,7 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
             out_row_ref[:, d:d + 1] = acc[d]
 
 
+@_guard_uniform_gm(("masses", ("gm", "masses", 1)))
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
                                              "block", "block_j",
                                              "interpret", "uniform_gm"))
@@ -384,9 +441,11 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     ``uniform_gm=True`` is a caller-asserted fast path for equal masses
     (all G*m identical): the kernel reduces one shared w*diff product per
     dim and the scalar G*m[0] scales the result in the epilogue — +24%
-    f32 / +12% int4 at N=131k (docs/PERF.md). The assertion is the
-    CALLER's (DirectSimulation/run_steps auto-detect on concrete masses);
-    passing it with unequal masses silently uses m[0] for every pair.
+    f32 / +12% int4 at N=131k (docs/PERF.md). Unequal CONCRETE masses
+    (or gm) with uniform_gm=True raise ValueError at dispatch
+    (_guard_uniform_gm); only values traced by an enclosing jit remain
+    the caller's assertion (in-repo callers auto-detect on concrete
+    masses first — DirectSimulation/run_steps).
     Automatically degrades to the general path when N needs padding
     (padded rows rely on gm=0 to stay inert)."""
     if interpret is None:
@@ -699,6 +758,7 @@ def pallas_accelerations_streamed(positions, masses, q: Quantizer,
     return acc
 
 
+@_guard_uniform_gm(("masses", ("gm", "masses", 1)))
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
                                              "chunk", "interpret",
                                              "uniform_gm"))
@@ -905,6 +965,7 @@ def _pair_force_sym_kernel(bounds_ref, recv_ref, src_ref, out_row_ref,
         out_row_ref[:, d:d + 1] = acc[d]
 
 
+@_guard_uniform_gm(("gm_recv", ("gm_recv", 1)), ("gm_src", ("gm_src", 3)))
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "block_i",
                                              "block_j", "interpret",
                                              "uniform_gm"))

@@ -64,6 +64,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _guard_uniform_gm(mass_argnum: int):
+    """Reject ``uniform_gm=True`` with concrete unequal masses at the
+    sharded-runner surface (see ops.pallas_nbody.check_uniform_gm; the
+    value at ``mass_argnum`` may be a ParticleState/BaselineState — its
+    .masses leaf is checked — or a raw masses array)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if kwargs.get("uniform_gm") and mass_argnum < len(args):
+                from nbody_tpu.ops.pallas_nbody import check_uniform_gm
+                val = args[mass_argnum]
+                val = getattr(val, "masses", val)
+                n_total = kwargs.get("n_total")
+                # A chained resident state (shape > n_total) is padded to
+                # the shard boundary with zero-mass phantom rows; the
+                # runner auto-disables the fast path on any padded layout,
+                # so there is nothing to guard there (and slicing the
+                # explicitly-sharded tail here would be ill-sharded).
+                padded = (n_total is not None and hasattr(val, "shape")
+                          and val.shape[0] != n_total)
+                if not padded:
+                    check_uniform_gm(val)
+            return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 def _sym_resident_bytes(n: int, dim: int) -> int:
     """VMEM bytes of the sym kernels' grid-resident arrays: the
     (D+1, N) source plus the (D, N) reaction buffer."""
@@ -135,11 +162,18 @@ def _tile_force(xi, ids_i, xj, gm_j, ids_j, q, cfg, log_lo, log_hi,
         # chunks (receivers stream from HBM at any size).
         nj, dim = xj.shape
         bi = min(512, _round_up(xi.shape[0], 8))
-        if _sym_resident_bytes(nj, dim) <= _VMEM_RESIDENT_BUDGET:
+        # The rows tile stages only the (D+1, N) source array resident —
+        # no (D, N) reaction buffer (that is the SYM tiles' footprint,
+        # _sym_resident_bytes). Gate and chunk on its true residency so
+        # shards are not split ~40% earlier than VMEM requires.
+        if 4 * (dim + 1) * nj <= _VMEM_RESIDENT_BUDGET:
             return pallas_pair_force(xi, xj, gm_j, q, cfg,
                                      log_lo=log_lo, log_hi=log_hi,
                                      block_i=bi)
-        chunk = _src_chunk_size(nj, dim)
+        max_chunk = max(_VMEM_RESIDENT_BUDGET // (4 * (dim + 1)),
+                        _SRC_CHUNK_FLOOR)
+        n_chunks = -(-nj // max_chunk)
+        chunk = -(-nj // n_chunks)
         acc = None
         for c0 in range(0, nj, chunk):
             sl = slice(c0, min(c0 + chunk, nj))
@@ -261,7 +295,8 @@ def _pe_rows_pallas_chunked(pos_i, m_i, ids_i, pos_j, m_j, ids_j,
 
 
 def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
-                   row_block: int = 1024, ids_f32_exact: bool = True):
+                   row_block: int = 1024, ids_f32_exact: bool = True,
+                   compensated: bool = False):
     """Pairwise potential energy via the same ppermute ring, per device.
 
     U = -G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2)
@@ -286,7 +321,12 @@ def _ring_pe_local(pos_local, m_local, ids_local, n_total, cfg: SimConfig,
     # EQUALITY — exact only below 2^24, where the caller (which knows the
     # padded global N) must disable it or adjacent ids would collide and
     # silently drop real pair terms.
-    use_pallas_pe = cfg.softening_sq > 0.0 and ids_f32_exact and (
+    # compensated=True (the emulated-f64 baseline's precision anchor)
+    # forces the fully compensated jnp tile: the Pallas tile's plain-f32
+    # within-row sums add ~sqrt(B)*eps per-row noise (~1e-5 relative at
+    # 1M shards) the anchor must not carry (advisor r3).
+    use_pallas_pe = not compensated and (
+        cfg.softening_sq > 0.0) and ids_f32_exact and (
         _PE_TILE_IMPL == "pallas"
         or (_PE_TILE_IMPL == "auto" and jax.default_backend() == "tpu"
             and b >= _PE_PALLAS_MIN_SHARD))
@@ -737,6 +777,7 @@ def _make_ring_step(cfg: SimConfig, force, bounds_of, bounds_reuse: bool,
     return one_step
 
 
+@_guard_uniform_gm(0)
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "quantize_forces", "mesh",
                                     "num_steps", "steps_per_chunk",
@@ -879,9 +920,11 @@ def run_steps_sharded(state: ParticleState, q: Quantizer, cfg: SimConfig,
     return new_state, energies
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "n_total"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "n_total",
+                                             "compensated"))
 def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh,
-                          n_total: int | None = None):
+                          n_total: int | None = None,
+                          compensated: bool = False):
     """Sharded pairwise potential energy (library entry).
 
     Multi-chip equivalent of diagnostics.metrics.potential_energy
@@ -894,6 +937,9 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh,
     rows past it are phantoms and must be id-masked — inferring the
     count from the padded shape would treat coincident sentinel phantoms
     as real pairs (0 * rsqrt(0) = NaN under zero softening).
+
+    ``compensated=True`` forces the fully compensated jnp tile (baseline
+    precision-anchor probes; see _ring_pe_local).
     """
     if n_total is None:
         n_total = positions.shape[0]
@@ -904,7 +950,8 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh,
 
     fn = shard_map(
         functools.partial(_ring_pe_local, n_total=n_total, cfg=cfg,
-                          ids_f32_exact=pos.shape[0] <= (1 << 24)),
+                          ids_f32_exact=pos.shape[0] <= (1 << 24),
+                          compensated=compensated),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
         out_specs=P(),
@@ -913,6 +960,7 @@ def ring_potential_energy(positions, masses, cfg: SimConfig, mesh: Mesh,
     return fn(pos, m, ids)
 
 
+@_guard_uniform_gm(1)
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "mesh",
                                              "quantize_forces",
                                              "tile_impl", "schedule",
@@ -1067,6 +1115,7 @@ def _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg: SimConfig,
 _SNAP_REPLICATED = metrics_lib.Snapshot(*([P()] * 10))
 
 
+@_guard_uniform_gm(0)
 @functools.partial(jax.jit,
                    static_argnames=("q", "cfg", "mesh", "quantize_forces",
                                     "steps_per_chunk", "num_chunks",
@@ -1186,8 +1235,10 @@ def run_with_snapshots_sharded_baseline(state: BaselineState, cfg: SimConfig,
             pg = jax.lax.all_gather(p32, AXIS, tiled=True)[:n_total]
             vg = jax.lax.all_gather(v32, AXIS, tiled=True)[:n_total]
             ke = metrics_lib.kinetic_energy(vg, m_full)
+            # compensated: the baseline IS the precision anchor — its PE
+            # must not pick up the Pallas tile's plain-f32 row-sum noise.
             pe = _ring_pe_local(p32, m_l, ids_l, n_total, cfg,
-                                ids_f32_exact=ids_exact)
+                                ids_f32_exact=ids_exact, compensated=True)
             tick = tick0 + (i + 1) * steps_per_chunk
             snap = _struct_snapshot(pg, vg, m_full, tick, ke, pe, cfg,
                                     num_bins)

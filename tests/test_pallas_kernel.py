@@ -454,3 +454,52 @@ def test_pallas_sym_chunked_uniform_matches_dense(n):
     want = forces.dense_accelerations(pos, m, q, CFG)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=2e-6)
+
+
+def test_uniform_gm_guard_rejects_unequal_masses():
+    """uniform_gm=True with concrete unequal masses must raise — the
+    fast path would otherwise silently scale every pair by m[0]
+    (VERDICT r3 'what's weak' #1). Covers every public surface that
+    exposes the kwarg."""
+    from nbody_tpu.models import direct
+    from nbody_tpu.models.state import make_state
+    from nbody_tpu.ops.pallas_nbody import (
+        pallas_accelerations_sym,
+        pallas_accelerations_sym_chunked,
+        pallas_pair_force_sym,
+    )
+
+    pos, vel, _ = _ics(512)
+    m_bad = jnp.linspace(1.0, 2.0, 512, dtype=jnp.float32)
+    q = Quantizer(Precision.FLOAT32)
+
+    with pytest.raises(ValueError, match="uniform_gm"):
+        pallas_accelerations_sym(pos, m_bad, q, CFG, uniform_gm=True)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        pallas_accelerations_sym_chunked(pos, m_bad, q, CFG, chunk=512,
+                                         uniform_gm=True)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        pallas_pair_force_sym(pos[:256], CFG.G * m_bad[:256], pos[256:],
+                              CFG.G * jnp.ones((256,), jnp.float32), q, CFG,
+                              uniform_gm=True)
+    st = make_state(pos, vel, m_bad)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        direct.run_steps(st, q, CFG, "dense", False, 1, uniform_gm=True)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        direct.run_with_snapshots(st, q, CFG, "dense", False, 1, 1,
+                                  uniform_gm=True)
+
+
+def test_uniform_gm_guard_passes_equal_and_gm_override():
+    """Equal masses pass; an explicit uniform gm= overrides unequal
+    (ignored) masses — the kernel consumes gm, so gm is what's checked."""
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+
+    pos, vel, m = _ics(512)
+    q = Quantizer(Precision.FLOAT32)
+    a = pallas_accelerations_sym(pos, m, q, CFG, uniform_gm=True)
+    assert np.isfinite(np.asarray(a)).all()
+    gm_ok = CFG.G * jnp.ones((512,), jnp.float32)
+    a2 = pallas_accelerations_sym(pos, None, q, CFG, gm=gm_ok,
+                                  uniform_gm=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))

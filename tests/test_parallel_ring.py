@@ -442,3 +442,63 @@ def test_bounds_reuse_tracks_exact(n_dev):
                                np.asarray(es1.total),
                                rtol=5e-3,
                                atol=5e-3 * abs(float(es1.total[0])))
+
+
+def test_ring_uniform_gm_guard(mesh8):
+    """uniform_gm=True with concrete unequal masses raises at the sharded
+    surfaces; a chained RESIDENT state (zero-mass phantom padding past
+    n_total) must NOT trip the guard — only real rows carry the
+    assertion."""
+    pos, vel, m = _ics(256)
+    m_bad = jnp.linspace(1.0, 2.0, 256, dtype=jnp.float32)
+    q = Quantizer(Precision.FLOAT32)
+    st_bad = make_state(pos, vel, m_bad)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        ring.run_steps_sharded(st_bad, q, CFG, mesh8, num_steps=1,
+                               uniform_gm=True)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        ring.ring_accelerations(pos, m_bad, q, CFG, mesh8, uniform_gm=True)
+    with pytest.raises(ValueError, match="uniform_gm"):
+        ring.run_with_snapshots_sharded(st_bad, q, CFG, mesh8, 1, 1,
+                                        uniform_gm=True)
+
+    # Resident padded layout: N=250 on 8 shards pads to 256 with six
+    # zero-mass phantoms; chaining with uniform_gm=True stays legal.
+    pos2, vel2, m2 = _ics(250)
+    st = make_state(pos2, vel2, m2)
+    out, _ = ring.run_steps_sharded(st, q, CFG, mesh8, num_steps=2,
+                                    gather=False, uniform_gm=True)
+    assert out.positions.shape[0] == 256  # resident padded
+    out2, _ = ring.run_steps_sharded(out, q, CFG, mesh8, num_steps=2,
+                                     gather=True, n_total=250,
+                                     uniform_gm=True)
+    assert np.isfinite(np.asarray(out2.positions)).all()
+
+
+def test_ring_pe_compensated_forces_jnp_tile(mesh8, monkeypatch):
+    """compensated=True (the baseline precision anchor) must bypass the
+    Pallas PE tile even where the auto gate would pick it, and still
+    match the single-device reduction (advisor r3 finding 1)."""
+    from nbody_tpu.diagnostics.metrics import potential_energy
+
+    calls = []
+    real = ring._pe_rows_pallas_chunked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ring, "_pe_rows_pallas_chunked", spy)
+    monkeypatch.setattr(ring, "_PE_TILE_IMPL", "pallas")
+    mesh4 = ring.make_particle_mesh(4)
+    pos, vel, m = _ics(288)  # unique (mesh4, 288) trace key (see note in
+    # test_ring_potential_energy_pallas_tile on jit caching vs monkeypatch)
+    pe_comp = float(ring.ring_potential_energy(pos, m, CFG, mesh4,
+                                               compensated=True))
+    assert not calls, "compensated PE must not route through the Pallas tile"
+    pe_ref = float(potential_energy(pos, m, CFG))
+    np.testing.assert_allclose(pe_comp, pe_ref, rtol=1e-5)
+    # sanity: the auto gate WOULD have taken the tile for this shape
+    pe_fast = float(ring.ring_potential_energy(pos, m, CFG, mesh4))
+    assert calls, "auto gate should route through the Pallas tile here"
+    np.testing.assert_allclose(pe_fast, pe_ref, rtol=1e-5)
