@@ -24,14 +24,31 @@ logger = logging.getLogger("nbody_tpu.multihost")
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> bool:
+                         process_id: Optional[int] = None,
+                         cpu_collectives: Optional[str] = None) -> bool:
     """Initialize jax.distributed for a multi-host pod slice.
 
     On TPU pods, all arguments are auto-detected from the environment; on
     other setups pass them explicitly. Returns True if a multi-process
     runtime is active after the call. Safe to call on a single host
     (no-op, returns False).
+
+    ``cpu_collectives`` selects the cross-process collective transport for
+    CPU backends (pass ``"gloo"`` for multi-process CPU runs — XLA:CPU has
+    no default cross-process transport, so collectives would otherwise
+    fail; must be set BEFORE backend initialization). TPU slices ignore it
+    (ICI/DCN routing is XLA's own). Exercised for real by
+    tools/multihost_check.py + tests/test_multihost_real.py: two localhost
+    processes x 4 virtual CPU devices running the sharded flagship history
+    and the hash-agreement collective un-mocked.
     """
+    if cpu_collectives is not None:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception as e:  # pragma: no cover - knob absent/renamed
+            logger.warning("cpu_collectives=%r not applied: %s",
+                           cpu_collectives, e)
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
