@@ -7,12 +7,13 @@ TPU-native equivalent of the reference audit
   (reference: :89-111, :337-340); this environment has zero egress, so the
   cached-fixture path IS the path — TLE fixtures below;
 * the reference wraps the ``sgp4`` library (not installed here); this
-  framework VENDORS a near-Earth SGP4 core (``experiments/_sgp4.py``,
+  framework VENDORS the full SGP4/SDP4 core (``experiments/_sgp4.py``,
   Spacetrack Report #3 equations: Brouwer recovery, B* drag series,
-  J2/J3/J4 secular + periodic terms) and uses it as the oracle for
-  near-Earth TLEs; deep-space TLEs (period >= 225 min, SDP4 territory)
-  fall back to the Keplerian + J2-secular propagator, and each row
-  records which oracle produced it;
+  J2/J3/J4 secular + periodic terms; lunisolar secular + periodic and
+  12h/24h resonance terms for deep-space TLEs, period >= 225 min) and
+  uses it as the oracle for EVERY TLE — the same coverage as the
+  reference's library wrapper (reference: orbital_audit.py:147-182);
+  each row records which branch (sgp4/sdp4) produced it;
 * the device simulator is an RK4 two-body + J2 integrator under
   ``lax.scan`` with the precision ladder applied to r^2 (the same
   "broken math" hook as the galaxy engine) and underflow/overflow event
@@ -158,15 +159,15 @@ def elements_to_state(el: dict):
 
 
 def reference_ephemeris(el: dict, line1: str, line2: str, times_s):
-    """Oracle positions at the sample times: vendored SGP4 for near-Earth
-    TLEs, Keplerian+J2 secular for deep-space ones (SDP4 is out of the
-    vendored core's scope). Returns (positions (T, 3), oracle_name)."""
+    """Oracle positions at the sample times: the vendored SGP4/SDP4 core
+    for every TLE (deep-space TLEs take the SDP4 lunisolar + resonance
+    branch, matching the reference's library wrapper coverage,
+    reference: orbital_audit.py:147-182). Returns (positions (T, 3),
+    oracle_name) where oracle_name records which branch ran."""
     from nbody_tpu.experiments import _sgp4
 
-    try:
-        return _sgp4.sgp4_ephemeris(line1, line2, times_s), "sgp4"
-    except ValueError:
-        return kepler_j2_reference(el, times_s), "kepler_j2"
+    oracle = "sdp4" if _sgp4.is_deep_space(line1, line2) else "sgp4"
+    return _sgp4.sgp4_ephemeris(line1, line2, times_s), oracle
 
 
 def kepler_j2_reference(el: dict, times_s):
@@ -424,9 +425,9 @@ def run_full_orbital_audit(quick: bool = False, fetch: bool = False) -> dict:
                   "with the reference's cached-fallback pattern, "
                   "orbital_audit.py:89-111; this box is zero-egress so "
                   "the fallback is what runs here); oracle = vendored "
-                  "near-Earth SGP4 core (experiments/_sgp4.py) with "
-                  "Keplerian+J2-secular fallback for deep-space TLEs "
-                  "(period >= 225 min)"),
+                  "SGP4/SDP4 core (experiments/_sgp4.py) — deep-space "
+                  "TLEs (period >= 225 min) take the SDP4 lunisolar + "
+                  "resonance branch"),
     }
     sig = np.mean([r["int4_signature"]
                    for r in report["tle_drift"].values()
