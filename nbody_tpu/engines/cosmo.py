@@ -181,6 +181,8 @@ class PendingChunk(NamedTuple):
     probes: ProbeBundle       # device (async host copy in flight)
     positions: jnp.ndarray    # post-chunk state refs (async copy in flight)
     velocities: jnp.ndarray
+    snap_stride: int = 1      # >1: snapshot already trimmed + decimated
+                              # on device (snapshot_cap)
 
 
 def _spec_sharded(x) -> bool:
@@ -325,7 +327,8 @@ class CosmologicalEngine:
                  dm_ratio: float = 5.0, seed: int = 42, dim: int = 2,
                  n_grid: Optional[int] = None, deposit: str = "ngp",
                  cosmo: Cosmology = PLANCK18, min_redshift: float = 0.01,
-                 glitch_threshold: float = 0.05, ic_fn=None, mesh=None):
+                 glitch_threshold: float = 0.05, ic_fn=None, mesh=None,
+                 snapshot_cap: Optional[int] = None):
         self.cosmo = cosmo
         if n_grid is None:
             n_grid = 128 if dim == 2 else 32
@@ -346,6 +349,19 @@ class CosmologicalEngine:
         # pipeline (replicated grid below 256^dim, fully sharded FFT
         # above — parallel/pm_sharded.py).
         self.mesh = mesh
+        # Optional cap on the per-chunk diagnostic snapshot: above the
+        # cap the post-chunk (positions, velocities) handed to the host
+        # detectors are DECIMATED ON DEVICE with a uniform stride before
+        # the host copy starts. The physics state is untouched; the
+        # entropy / Landauer probes then run on the strided subsample
+        # (a documented proxy — both compare like-for-like across the
+        # run) and streaming consumers (realtime monitors, dashboards)
+        # receive the subsample. At 1M particles this turns a ~16 MB
+        # per-frame tunnel transfer + 1M-row host probes into a
+        # cap-sized one (the reference ships full state every frame but
+        # caps itself at 10k particles, realtime_reality_engine.py:187-345).
+        self.snapshot_cap = (int(snapshot_cap)
+                             if snapshot_cap and snapshot_cap > 0 else None)
 
         num_side = max(2, round(num_particles ** (1.0 / dim)))
         self.num_particles = num_side ** dim
@@ -598,10 +614,20 @@ class CosmologicalEngine:
                 self.mesh, jax.sharding.PartitionSpec())
             snap_pos = jax.device_put(snap_pos, repl)
             snap_vel = jax.device_put(snap_vel, repl)
+        snap_stride = 1
+        if (self.snapshot_cap is not None
+                and self.num_particles > self.snapshot_cap):
+            # Device-side decimation: trim padding and take a uniform
+            # stride in one strided slice (cheap device op; the host
+            # copy below then ships only cap-sized arrays).
+            snap_stride = -(-self.num_particles // self.snapshot_cap)
+            snap_pos = snap_pos[:self.num_particles:snap_stride]
+            snap_vel = snap_vel[:self.num_particles:snap_stride]
         pending = PendingChunk(
             num_steps=num_steps, tick_start=self._tick_host - num_steps,
             z_end=z_end, stream=stream, probes=probes,
-            positions=snap_pos, velocities=snap_vel)
+            positions=snap_pos, velocities=snap_vel,
+            snap_stride=snap_stride)
         for leaf in jax.tree_util.tree_leaves(
                 (pending.stream, pending.probes, pending.positions,
                  pending.velocities)):
@@ -631,9 +657,12 @@ class CosmologicalEngine:
              pending.positions, pending.velocities))
         # Resident-sharded state is padded to a shard multiple; the host
         # consumers (entropy probe, Landauer bits, streaming frames) see
-        # only the real rows.
-        pos_h = pos_h[:self.num_particles]
-        vel_h = vel_h[:self.num_particles]
+        # only the real rows. Under snapshot_cap the snapshot arrived
+        # already trimmed + stride-decimated from the device, and the
+        # entropy/Landauer probes below run on that strided subsample.
+        if pending.snap_stride == 1:
+            pos_h = pos_h[:self.num_particles]
+            vel_h = vel_h[:self.num_particles]
         num_steps = pending.num_steps
         tick_end = pending.tick_start + num_steps
         z_end = pending.z_end

@@ -93,19 +93,30 @@ class SharedState:
         self.running = True
         self.positions: Optional[np.ndarray] = None
         self.velocities: Optional[np.ndarray] = None
+        self.device_bao: Optional[float] = None  # device-grid P(k) BAO
         self.metrics = LiveMetrics()
         self.clock = GlobalClock()
         self.events: List[dict] = []
         self.energy_history: List[float] = []
         self.step_times_ms: List[float] = []
 
-    def publish_snapshot(self, positions, velocities, tick, redshift, ke):
+    def publish_snapshot(self, positions, velocities, tick, redshift, ke,
+                         bao_scale=None, clustering=None):
+        """``bao_scale``/``clustering`` are the producer's device-grid
+        measurements (probe bundle P(k) from the already-deposited
+        density grid). When present the BAO monitor consumes them
+        directly instead of re-histogramming host positions — at 1M
+        particles that host pass was a large share of the frame budget."""
         with self.lock:
             self.positions = positions
             self.velocities = velocities
             self.metrics.tick = tick
             self.metrics.redshift = redshift
             self.metrics.kinetic_energy = ke
+            if bao_scale is not None:
+                self.device_bao = float(bao_scale)
+            if clustering is not None:
+                self.metrics.clustering = float(clustering)
             self.energy_history.append(ke)
             if len(self.energy_history) >= 2:
                 prev = self.energy_history[-2]
@@ -131,7 +142,8 @@ class CosmicWebEngine:
 
     def __init__(self, state: SharedState, num_particles: int,
                  precision: str, seed: int, target_fps: float = 30.0,
-                 steps_per_frame: int = 2, mesh=None):
+                 steps_per_frame: int = 2, mesh=None,
+                 snapshot_cap: Optional[int] = 65536):
         self.state = state
         self.num_particles = num_particles
         self.precision = precision
@@ -139,6 +151,14 @@ class CosmicWebEngine:
         self.target_dt = 1.0 / target_fps
         self.steps_per_frame = steps_per_frame
         self.mesh = mesh  # multi-chip: resident-sharded engine loop
+        # Monitor decimation: above the cap, per-frame snapshots are
+        # stride-decimated ON DEVICE before the host copy (engine
+        # snapshot_cap) — the monitors see a uniform subsample while the
+        # physics runs full-N. The reference caps its whole SIMULATION
+        # at 10k particles to stay realtime (realtime_reality_engine.py:
+        # 187-345); here only the monitor traffic is capped.
+        self.snapshot_cap = (int(snapshot_cap)
+                             if snapshot_cap and snapshot_cap > 0 else None)
         self.engine = None
         self._pending = None  # in-flight dispatched chunk
 
@@ -148,22 +168,20 @@ class CosmicWebEngine:
         return CosmologicalEngine(
             num_particles=self.num_particles, start_redshift=50.0,
             precision=self.precision, dim=2, n_grid=64,
-            min_redshift=0.001, seed=self.seed, mesh=self.mesh)
+            min_redshift=0.001, seed=self.seed, mesh=self.mesh,
+            snapshot_cap=self.snapshot_cap)
 
     def start(self):
         self.engine = self._new_engine()
+        stride = 1
+        if (self.snapshot_cap is not None
+                and self.engine.num_particles > self.snapshot_cap):
+            stride = -(-self.engine.num_particles // self.snapshot_cap)
         self.state.publish_snapshot(
-            np.asarray(self.engine.positions),
-            np.asarray(self.engine.velocities),
+            np.asarray(self.engine.positions[::stride]),
+            np.asarray(self.engine.velocities[::stride]),
             self.engine.tick, self.engine.redshift,
             self.engine.get_kinetic_energy())
-
-    def _publish(self, arrays, meta):
-        if arrays is None:
-            return
-        pos, vel = arrays
-        self.state.publish_snapshot(pos, vel, meta["tick"],
-                                    meta["redshift"], meta["ke"])
 
     def pump(self):
         """One producer iteration (call from the main loop).
@@ -197,11 +215,17 @@ class CosmicWebEngine:
 
     def _collect_publish(self, pending):
         pos_h, vel_h = self.engine.collect_step(pending)
-        ke = (self.engine.history["energy"][-1]
-              if self.engine.history["energy"] else 0.0)
-        self._publish((pos_h, vel_h),
-                      {"tick": pending.tick_start + pending.num_steps,
-                       "redshift": pending.z_end, "ke": ke})
+        hist = self.engine.history
+        ke = hist["energy"][-1] if hist["energy"] else 0.0
+        self.state.publish_snapshot(
+            pos_h, vel_h, pending.tick_start + pending.num_steps,
+            pending.z_end, ke,
+            # Device-grid structure measurements from the chunk's fused
+            # probe bundle (P(k) off the deposited density grid) — the
+            # BAO monitor consumes these instead of re-histogramming
+            # host positions.
+            bao_scale=hist["bao_scale"][-1] if hist["bao_scale"] else None,
+            clustering=hist["clustering"][-1] if hist["clustering"] else None)
 
     def drain(self):
         """Collect + publish the final in-flight chunk (at shutdown or
@@ -221,19 +245,32 @@ class BAOSolver(threading.Thread):
 
     def run(self):
         while self.state.running:
-            pos = self.state.latest_positions()
-            if pos is not None and len(pos) > 0:
+            with self.state.lock:
+                device_bao = self.state.device_bao
+            if device_bao is not None:
+                # Producer publishes the device-grid P(k) BAO scale with
+                # each frame; this thread only thresholds it (no host
+                # histogram pass — essential at 1M particles).
+                bao = device_bao
+            else:
+                pos = self.state.latest_positions()
+                if pos is None or len(pos) == 0:
+                    time.sleep(0.1)
+                    continue
                 bao = self._bao_scale(pos)
-                with self.state.lock:
-                    self.state.metrics.bao_scale = bao
-                    if bao > 0:
-                        dev = abs(bao - BAO_REFERENCE_MPC) / BAO_REFERENCE_MPC
-                        if dev > 0.5:
-                            self.state.metrics.glitch_count += 1
-                            self.state.events.append({
-                                "type": "bao_glitch",
-                                "bao_scale": bao, "deviation": dev})
-                self.state.clock.beat("bao")
+            with self.state.lock:
+                self.state.metrics.bao_scale = bao
+                # per-check thresholding at the monitor's own 10 Hz
+                # cadence, matching the pre-device-BAO (and reference)
+                # semantics of re-flagging a persisting deviation
+                if bao > 0:
+                    dev = abs(bao - BAO_REFERENCE_MPC) / BAO_REFERENCE_MPC
+                    if dev > 0.5:
+                        self.state.metrics.glitch_count += 1
+                        self.state.events.append({
+                            "type": "bao_glitch",
+                            "bao_scale": bao, "deviation": dev})
+            self.state.clock.beat("bao")
             time.sleep(0.1)
 
     def _bao_scale(self, pos: np.ndarray) -> float:
@@ -371,7 +408,8 @@ def run_realtime_engine(num_particles: int = 10000,
                         seed: int = 42, headless: bool = True,
                         out_dir: str = "output/realtime",
                         frame_interval_s: float = 5.0,
-                        animate: bool = False, mesh=None) -> dict:
+                        animate: bool = False, mesh=None,
+                        snapshot_cap: Optional[int] = 65536) -> dict:
     """(reference: realtime_reality_engine.py:766-880)
 
     ``animate=True`` runs the live FuncAnimation dashboard (interactive
@@ -382,7 +420,7 @@ def run_realtime_engine(num_particles: int = 10000,
     with periodic PNG frames."""
     state = SharedState()
     producer = CosmicWebEngine(state, num_particles, precision, seed,
-                               mesh=mesh)
+                               mesh=mesh, snapshot_cap=snapshot_cap)
     producer.start()  # main-thread engine construction + first snapshot
     monitors = [BAOSolver(state), RSIMonitor(state)]
     for t in monitors:
@@ -440,6 +478,7 @@ def run_realtime_engine(num_particles: int = 10000,
         report = {
             "num_particles": num_particles,
             "precision": precision,
+            "snapshot_cap": producer.snapshot_cap,
             "mesh_devices": (0 if mesh is None
                              else int(np.prod(list(mesh.shape.values())))),
             "duration_s": seconds,
@@ -480,6 +519,10 @@ def main(argv=None):
                    metavar="N",
                    help="run the live loop sharded over an N-device mesh "
                         "(bare --mesh = all local devices)")
+    p.add_argument("--snapshot-cap", type=int, default=65536,
+                   help="decimate per-frame monitor snapshots on device "
+                        "to at most this many particles (0 = ship full "
+                        "state every frame)")
     p.add_argument("--output", type=str, default="output/realtime")
     args = p.parse_args(argv)
     mesh = None
@@ -489,7 +532,8 @@ def main(argv=None):
         mesh = ring.make_particle_mesh(args.mesh if args.mesh > 0 else None)
     run_realtime_engine(args.particles, args.precision, args.seconds,
                         args.seed, args.headless, args.output,
-                        animate=args.animate, mesh=mesh)
+                        animate=args.animate, mesh=mesh,
+                        snapshot_cap=args.snapshot_cap)
 
 
 if __name__ == "__main__":

@@ -191,3 +191,87 @@ def test_realtime_pump_mesh_matches_single_device():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(results["mesh"][1], results["single"][1],
                                rtol=1e-3)
+
+
+def test_engine_snapshot_cap_decimates_without_changing_physics():
+    """snapshot_cap decimates the per-chunk diagnostic snapshot ON DEVICE
+    (exact strided subsample of the full snapshot) while every physics
+    history — energy, BAO, clustering — stays identical to the uncapped
+    engine. Covers the monitor-decimation path the realtime engine uses
+    at 1M particles (reference caps its SIMULATION at 10k instead,
+    realtime_reality_engine.py:187-345)."""
+    from nbody_tpu.engines.cosmo import CosmologicalEngine
+
+    full = CosmologicalEngine(num_particles=1024, dim=2, n_grid=32, seed=1)
+    capped = CosmologicalEngine(num_particles=1024, dim=2, n_grid=32,
+                                seed=1, snapshot_cap=100)
+    p_full = full.dispatch_step(0.5, num_steps=4)
+    pos_f, vel_f = full.collect_step(p_full)
+    p_cap = capped.dispatch_step(0.5, num_steps=4)
+    pos_c, vel_c = capped.collect_step(p_cap)
+
+    stride = p_cap.snap_stride
+    assert stride == 11  # ceil(1024 / 100)
+    assert pos_c.shape[0] == -(-1024 // stride)
+    np.testing.assert_array_equal(np.asarray(pos_f)[::stride], pos_c)
+    np.testing.assert_array_equal(np.asarray(vel_f)[::stride], vel_c)
+    assert full.history["energy"] == capped.history["energy"]
+    assert full.history["bao_scale"] == capped.history["bao_scale"]
+    assert full.history["clustering"] == capped.history["clustering"]
+
+
+def test_engine_snapshot_cap_mesh_padded_rows_excluded():
+    """On a mesh whose shard count does not divide N, the resident state
+    is padded; the capped snapshot must stride over only the REAL rows
+    (padding trimmed before decimation)."""
+    import jax
+
+    from nbody_tpu.engines.cosmo import CosmologicalEngine
+    from nbody_tpu.parallel import ring
+
+    assert len(jax.devices()) >= 8
+    mesh = ring.make_particle_mesh(8)
+    single = CosmologicalEngine(num_particles=225, dim=2, n_grid=32, seed=5)
+    capped = CosmologicalEngine(num_particles=225, dim=2, n_grid=32, seed=5,
+                                mesh=mesh, snapshot_cap=50)
+    ps = single.dispatch_step(0.5, num_steps=2)
+    pos_s, _ = single.collect_step(ps)
+    pc = capped.dispatch_step(0.5, num_steps=2)
+    pos_c, _ = capped.collect_step(pc)
+    stride = pc.snap_stride
+    assert stride == 5  # ceil(225 / 50)
+    assert pos_c.shape[0] == 45
+    np.testing.assert_allclose(np.asarray(pos_s)[::stride], pos_c,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_realtime_snapshot_cap_publishes_decimated_and_device_bao():
+    """With snapshot_cap set the realtime producer publishes cap-sized
+    frames plus the device-grid BAO/clustering measurements, and the BAO
+    monitor consumes the published value instead of re-histogramming."""
+    from nbody_tpu.realtime.engine import BAOSolver, CosmicWebEngine, \
+        SharedState
+
+    st = SharedState()
+    prod = CosmicWebEngine(st, num_particles=1024, precision="float32",
+                           seed=3, target_fps=1000.0, steps_per_frame=2,
+                           snapshot_cap=128)
+    prod.start()
+    assert st.positions.shape[0] == 128  # 1024 / stride 8
+    for _ in range(3):
+        prod.pump()
+    prod.drain()
+    eng = prod.engine
+    assert st.positions.shape[0] == 128
+    assert st.device_bao is not None
+    assert st.device_bao == eng.history["bao_scale"][-1]
+    assert st.metrics.clustering == eng.history["clustering"][-1]
+    # The monitor thresholds the device value directly
+    solver = BAOSolver(st)
+    st.running = True
+    solver.start()
+    import time as _time
+    _time.sleep(0.3)
+    st.running = False
+    solver.join(timeout=2.0)
+    assert st.metrics.bao_scale == st.device_bao
