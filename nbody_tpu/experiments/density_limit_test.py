@@ -36,9 +36,10 @@ DEFAULT_COUNTS = [100, 250, 500, 1000, 2000, 4000, 8000]
 # faster than the host can issue the next scan); the reference's question —
 # does time grow WORSE than N^2 with density (density_limit_test.py:270-316)
 # — is only answerable in the compute-bound regime, so the on-chip default
-# sweep extends to 262k.
+# sweep extends to 1M (~6 compute-bound octaves; per-row tick counts are
+# bounded by _ticks_for so the 1M tail stays ~10 s of measured work).
 DEFAULT_COUNTS_TPU = [1000, 4000, 8000, 16384, 32768, 65536,
-                      131072, 262144]
+                      131072, 262144, 524288, 1048576]
 
 
 def _ticks_for(n: int, ticks_per_size: int) -> int:
@@ -134,9 +135,27 @@ def analyze_scaling(results) -> dict:
             regime_note = ("dispatch-dominated sweep: no compute-bound "
                            "rows; exponent reflects host dispatch, not "
                            "pair physics — extend --counts upward")
-        exponent = float(np.polyfit(np.log(n[sel]), np.log(t[sel]), 1)[0])
+        x, y = np.log(n[sel]), np.log(t[sel])
+        (exponent, intercept) = np.polyfit(x, y, 1)
+        exponent = float(exponent)
+        # 95% CI on the fitted exponent (t-distributed slope error; the
+        # reference fits with no uncertainty at all,
+        # density_limit_test.py:270-316)
+        ci95 = None
+        dof = int(sel.sum()) - 2
+        if dof >= 1 and np.ptp(x) > 0:
+            resid = y - (exponent * x + intercept)
+            se = float(np.sqrt((resid ** 2).sum() / dof
+                               / ((x - x.mean()) ** 2).sum()))
+            try:
+                from scipy import stats
+                tcrit = float(stats.t.ppf(0.975, dof))
+            except Exception:
+                tcrit = 1.96  # normal approximation
+            ci95 = tcrit * se
         verdicts[mode] = {
             "exponent": exponent,
+            "exponent_ci95": ci95,
             "dispatch_floor_ms": floor,
             "compute_bound_rows": int(compute_bound.sum()),
             "regime_note": regime_note,
@@ -150,7 +169,8 @@ def analyze_scaling(results) -> dict:
                 "dispatch-dominated: anomaly check not meaningful at this "
                 "scale"),
         }
-        print(f"  {mode}: time ~ N^{exponent:.2f} [{regime_note}] "
+        ci_str = f" +/- {ci95:.2f}" if ci95 is not None else ""
+        print(f"  {mode}: time ~ N^{exponent:.2f}{ci_str} [{regime_note}] "
               f"({verdicts[mode]['interpretation']})")
     return verdicts
 
