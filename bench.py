@@ -20,7 +20,11 @@ import sys
 import time
 
 N = 131072
-STEPS = 10
+# 30 steps/dispatch ~= 1.2-2.3 s of kernel work: this box's ~50 ms
+# per-dispatch tunnel latency stays <5% of each timed wall (at 10 steps
+# it was ~12% of the f32 number), while staying far under the tunnel's
+# ~70-90 s single-dispatch watchdog.
+STEPS = 30
 BASELINE_PAIRS_PER_SEC = 1e10  # BASELINE.json north-star
 
 
@@ -120,7 +124,9 @@ def main():
         # Large-N arm: the chunked Newton's-third-law path past the VMEM
         # residency cliff (1.1e12 pairs per force evaluation on one chip
         # — the reference's broadcast engine dies at ~10k).
-        n_big, steps_big = 1_048_576, 3
+        # 5 steps = ~12 s f32 / ~20 s int4 per dispatch: overhead <1%,
+        # still well under the ~70-90 s tunnel watchdog.
+        n_big, steps_big = 1_048_576, 5
         pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(43),
                                          num_stars=n_big)
         state_big = make_state(pos, vel, m)

@@ -43,12 +43,22 @@ DEFAULT_COUNTS_TPU = [1000, 4000, 8000, 16384, 32768, 65536,
 
 
 def _ticks_for(n: int, ticks_per_size: int) -> int:
-    """Bound the measured pair work per row (~3e10 pairs) so the large-N
-    tail stays minutes, not hours; small N keep the full tick count."""
-    return max(5, min(ticks_per_size, int(3e10 / max(n * n, 1))))
+    """Bound the measured pair work per row so the large-N tail stays
+    minutes, not hours; small N keep the full tick count.
+
+    The per-row budget must ALSO amortise the per-dispatch host/tunnel
+    latency (~50 ms on this box): each row is timed as ONE fused scan
+    dispatch, so a row whose total compute is only ~100 ms would report
+    ~2x its true ms/tick and bend the exponent fit sub-quadratic. On
+    TPU the budget is 6e11 pairs (>= ~1 s of kernel work per mid-N row,
+    dispatch overhead < 5%); elsewhere 3e10 keeps CPU sweeps bounded.
+    The 1M tail stays 5 ticks (~12 s) either way, safely under this
+    box's ~70-90 s tunnel dispatch watchdog."""
+    budget = 6e11 if jax.default_backend() == "tpu" else 3e10
+    return max(5, min(ticks_per_size, int(budget / max(n * n, 1))))
 
 
-def run_density_sweep(counts=None, ticks_per_size: int = 100, seed: int = 42):
+def run_density_sweep(counts=None, ticks_per_size: int = 1000, seed: int = 42):
     """(reference: density_limit_test.py:206-267)"""
     if counts is None:
         counts = (DEFAULT_COUNTS_TPU if jax.default_backend() == "tpu"
@@ -179,7 +189,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Density/scaling limit test")
     p.add_argument("--counts", type=str, default=None,
                    help="comma-separated star counts")
-    p.add_argument("--ticks", type=int, default=100)
+    p.add_argument("--ticks", type=int, default=1000,
+                   help="per-row tick cap (the pair budget in _ticks_for "
+                        "bounds large-N rows below this)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", type=str, default="output/density_limit")
