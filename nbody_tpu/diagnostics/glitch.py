@@ -381,12 +381,22 @@ class PhysicsExploitEngine:
 
     def finish_probes(self, dm, positions, velocities,
                       gpu_power: float = 0.0,
-                      energy_delta: float = 0.0) -> dict:
+                      energy_delta: float = 0.0,
+                      n_total: int = 0) -> dict:
         """Host half: threshold the fetched ExploitDeviceMetrics and run the
         compression-proxy Landauer probe. ``positions``/``velocities`` may be
         host copies (the pipelined engine passes prefetched numpy arrays so
-        this never blocks on the device)."""
-        n = int(positions.shape[0])
+        this never blocks on the device).
+
+        ``n_total`` is the particle count the DEVICE metrics in ``dm`` were
+        reduced over. It must be passed whenever ``positions`` is a
+        decimated/strided snapshot (engines with ``snapshot_cap``): the
+        frustum census and culling threshold are population-level counts,
+        and deriving them from the subsample length would make
+        out_frustum_count negative and the culling trigger too sensitive
+        by the decimation factor. Defaults to ``len(positions)`` for the
+        undecimated callers (run_all_probes, extreme-mode suites)."""
+        n = int(n_total) if n_total else int(positions.shape[0])
 
         max_gamma = float(dm.max_gamma)
         rel = RelativityMetrics(

@@ -724,7 +724,8 @@ class CosmologicalEngine:
         ke_now = self.history["energy"][-1]
         results = self.exploit_engine.finish_probes(
             probes.exploit, pos_h, vel_h,
-            gpu_power=0.0, energy_delta=ke_now - prev_energy)
+            gpu_power=0.0, energy_delta=ke_now - prev_energy,
+            n_total=self.num_particles)
         self.history["exploits"].append(
             {"tick": tick_end, "redshift": z_end, **results})
         return pos_h, vel_h

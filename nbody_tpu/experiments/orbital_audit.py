@@ -166,8 +166,11 @@ def reference_ephemeris(el: dict, line1: str, line2: str, times_s):
     oracle_name) where oracle_name records which branch ran."""
     from nbody_tpu.experiments import _sgp4
 
-    oracle = "sdp4" if _sgp4.is_deep_space(line1, line2) else "sgp4"
-    return _sgp4.sgp4_ephemeris(line1, line2, times_s), oracle
+    # One propagator serves both the flag and the samples (the deep-space
+    # _dscom/_dsinit setup is the expensive part of construction).
+    prop = _sgp4.SGP4(_sgp4.elements_from_tle(line1, line2))
+    pos = np.asarray([prop.propagate(t / 60.0)[0] for t in times_s])
+    return pos, ("sdp4" if prop.is_deep_space else "sgp4")
 
 
 def kepler_j2_reference(el: dict, times_s):

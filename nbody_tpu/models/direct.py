@@ -145,6 +145,18 @@ def _guard_state_uniform_gm(fn):
     return wrapper
 
 
+def _prevalidated(fn):
+    """The inner (unguarded) callable of a uniform_gm-guarded wrapper.
+
+    DirectSimulation validates the concrete masses ONCE at construction
+    (the auto-detect in __init__ reads them host-side); re-running the
+    guard on every dispatch would np.asarray the state's device-resident
+    masses — a blocking host fetch per call that serializes the pipelined
+    ticks_per_dispatch chunking. External callers of the public module
+    functions still hit the guards."""
+    return getattr(fn, "__wrapped__", fn)
+
+
 def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
                        quantize_forces: bool, n: int, dim: int,
                        bounds_every: int, dt=None, softening_sq=None,
@@ -512,7 +524,7 @@ class DirectSimulation:
                     self.state, self.cfg, self.mesh, num_steps,
                     gather=False, n_total=self._n_total)
             else:
-                self.state, _ = ring.run_steps_sharded(
+                self.state, _ = _prevalidated(ring.run_steps_sharded)(
                     self.state, self.quantizer, self.cfg, self.mesh,
                     num_steps, quantize_forces=self.quantize_forces,
                     gather=False, schedule=self.schedule,
@@ -522,12 +534,13 @@ class DirectSimulation:
         elif self.is_baseline:
             self.state = run_steps_baseline(self.state, self.cfg, num_steps)
         else:
-            self.state = run_steps(self.state, self.quantizer, self.cfg,
-                                   self.force_impl, self.quantize_forces,
-                                   num_steps, dt=self._dyn_dt,
-                                   softening_sq=self._dyn_soft_sq,
-                                   bounds_every=self.bounds_every,
-                                   uniform_gm=self._uniform_gm)
+            self.state = _prevalidated(run_steps)(
+                self.state, self.quantizer, self.cfg,
+                self.force_impl, self.quantize_forces,
+                num_steps, dt=self._dyn_dt,
+                softening_sq=self._dyn_soft_sq,
+                bounds_every=self.bounds_every,
+                uniform_gm=self._uniform_gm)
 
     def run(self, num_ticks: int, callback: Optional[Callable] = None,
             callback_interval: int = 100):
@@ -564,7 +577,8 @@ class DirectSimulation:
                         self.state, self.cfg, self.mesh, chunk_steps,
                         n_chunks, num_bins=num_bins, n_total=self._n_total)
                 else:
-                    st, sn, fr = ring.run_with_snapshots_sharded(
+                    st, sn, fr = _prevalidated(
+                        ring.run_with_snapshots_sharded)(
                         self.state, self.quantizer, self.cfg, self.mesh,
                         chunk_steps, n_chunks,
                         quantize_forces=self.quantize_forces,
@@ -605,7 +619,7 @@ class DirectSimulation:
             self.state, snaps, frames = run_with_snapshots_baseline(
                 self.state, self.cfg, steps, num_chunks, num_bins)
         else:
-            self.state, snaps, frames = run_with_snapshots(
+            self.state, snaps, frames = _prevalidated(run_with_snapshots)(
                 self.state, self.quantizer, self.cfg, self.force_impl,
                 self.quantize_forces, steps, num_chunks, num_bins,
                 dt=self._dyn_dt, softening_sq=self._dyn_soft_sq,

@@ -69,6 +69,31 @@ def test_exploit_engine_runs():
     assert res2["frustum"].snap_events >= 0
 
 
+def test_finish_probes_decimated_snapshot_uses_n_total():
+    """Under snapshot_cap the engine computes the device metrics over the
+    FULL resident state but ships only a strided snapshot to host; the
+    frustum census must be sized by n_total, not the subsample length
+    (regression: out_frustum_count went negative and the culling trigger
+    fired 16x too easily at 1M with the default 65536 cap)."""
+    key = jax.random.PRNGKey(1)
+    n_total, cap = 2000, 125
+    pos = jax.random.normal(key, (n_total, 2)) * 10
+    vel = jax.random.normal(key, (n_total, 2)) * 0.1
+    eng = glitch.PhysicsExploitEngine()
+    prev, obs_pos, obs_dir = eng.probe_inputs(pos)
+    dm = jax.device_get(glitch.exploit_device_metrics(
+        pos, vel, prev, obs_pos, obs_dir, eng.c_sim, eng.fov_cos))
+    pos_h = np.asarray(pos)[::n_total // cap]
+    vel_h = np.asarray(vel)[::n_total // cap]
+    res = eng.finish_probes(dm, pos_h, vel_h, n_total=n_total)
+    fr = res["frustum"]
+    assert fr.out_frustum_count >= 0
+    assert fr.in_frustum_count + fr.out_frustum_count == n_total
+    # Culling threshold is population-level: snap_events over the full
+    # state must be compared against 1% of n_total, not 1% of the cap.
+    assert fr.culling_detected == (fr.snap_events > n_total * 0.01)
+
+
 def test_multiverse_divergence_grows():
     from nbody_tpu.diagnostics.multiverse import MultiverseSim
 
