@@ -17,6 +17,25 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
                                 reason="reference checkout not mounted")
 
 
+def test_reference_mode_strings_canonicalised():
+    """Ours-only aliases translate; unknowns raise instead of inheriting
+    the reference parser's silent unknown->FLOAT64 fallback
+    (reference quantization.py:175) — the failure that produced the
+    mis-keyed first canonical 'f16' row."""
+    from tools.reference_parity import canonical_reference_mode
+
+    assert canonical_reference_mode("f16") == "float16"
+    assert canonical_reference_mode("half") == "float16"
+    assert canonical_reference_mode("f64") == "float64"
+    assert canonical_reference_mode("fp32") == "float32"
+    assert canonical_reference_mode("bf16") == "bf16"
+    assert canonical_reference_mode("int4") == "int4"
+    with pytest.raises(ValueError, match="silently run FLOAT64"):
+        canonical_reference_mode("f99")
+    with pytest.raises(ValueError):
+        canonical_reference_mode("")
+
+
 def test_int4_drift_trajectory_matches_reference():
     import jax
 

@@ -47,6 +47,37 @@ if REPO_ROOT not in sys.path:
 REFERENCE_PATH = "/root/reference"
 CACHE_DIR = Path(REPO_ROOT) / "tools" / "reference_cache"
 
+# Mode strings the reference's own parser recognises
+# (reference quantization.py:160-175). Anything else it SILENTLY maps to
+# FLOAT64 — so we translate our extra aliases explicitly and refuse the
+# rest: a typo (or an ours-only alias like "f16") must never masquerade
+# as the reference's float64 baseline. That exact failure produced the
+# first canonical "f16" cache row, which was in fact a FLOAT64-mode run
+# and has been re-keyed as the float64 row (see its "note" field).
+REFERENCE_MODE_STRINGS = frozenset({
+    "float64", "float32", "bfloat16", "bf16", "float16", "fp16",
+    "int8", "int8_sim", "int4", "int4_sim", "custom",
+})
+_TO_REFERENCE_MODE = {
+    "f64": "float64", "fp64": "float64",
+    "f32": "float32", "fp32": "float32",
+    "f16": "float16", "half": "float16",
+}
+
+
+def canonical_reference_mode(mode_str: str) -> str:
+    """Translate a mode string into the reference parser's vocabulary.
+
+    Raises on anything neither table knows, instead of inheriting the
+    reference's silent unknown->FLOAT64 fallback."""
+    key = _TO_REFERENCE_MODE.get(mode_str.lower(), mode_str.lower())
+    if key not in REFERENCE_MODE_STRINGS:
+        raise ValueError(
+            f"mode {mode_str!r} is not recognised by the reference's "
+            f"get_mode_from_string (it would silently run FLOAT64); "
+            f"known: {sorted(REFERENCE_MODE_STRINGS)}")
+    return key
+
 
 def run_reference(positions, velocities, masses, mode_str: str,
                   num_ticks: int, interval: int, perm=None):
@@ -55,6 +86,7 @@ def run_reference(positions, velocities, masses, mode_str: str,
     ``perm`` optionally permutes the particle order fed to the reference
     (outputs are un-permuted) — identical physics, perturbed reduction
     order: the reference's own chaotic-envelope probe."""
+    mode_str = canonical_reference_mode(mode_str)
     sys.path.insert(0, REFERENCE_PATH)
     try:
         import torch
@@ -99,6 +131,7 @@ def run_reference_cached(positions, velocities, masses, mode_str: str,
                          perm=None, refresh: bool = False):
     """Reference run memoised on disk (canonical-scale torch runs are
     ~1 h single-core; the trajectory is deterministic given the config)."""
+    mode_str = canonical_reference_mode(mode_str)
     path = _cache_path(len(positions), num_ticks, interval, seed, mode_str,
                        perm is not None)
     if path.exists() and not refresh:
