@@ -485,6 +485,17 @@ class CosmologicalEngine:
     def masses(self):
         return self._trim_rows(self.state.masses)
 
+    @property
+    def snapshot_stride(self) -> int:
+        """Decimation stride applied to every snapshot shipped to host
+        under ``snapshot_cap`` — the single authority for the cap
+        semantics (dispatch_step and any initial-frame publisher must
+        agree, or monitor buffers sized off the first frame break)."""
+        if (self.snapshot_cap is not None
+                and self.num_particles > self.snapshot_cap):
+            return -(-self.num_particles // self.snapshot_cap)
+        return 1
+
     def _trimmed_state(self) -> CosmoState:
         """State with padding removed (checkpoint/export form). One
         batched device_put replicates all three particle arrays (three
@@ -614,13 +625,11 @@ class CosmologicalEngine:
                 self.mesh, jax.sharding.PartitionSpec())
             snap_pos = jax.device_put(snap_pos, repl)
             snap_vel = jax.device_put(snap_vel, repl)
-        snap_stride = 1
-        if (self.snapshot_cap is not None
-                and self.num_particles > self.snapshot_cap):
+        snap_stride = self.snapshot_stride
+        if snap_stride > 1:
             # Device-side decimation: trim padding and take a uniform
             # stride in one strided slice (cheap device op; the host
             # copy below then ships only cap-sized arrays).
-            snap_stride = -(-self.num_particles // self.snapshot_cap)
             snap_pos = snap_pos[:self.num_particles:snap_stride]
             snap_vel = snap_vel[:self.num_particles:snap_stride]
         pending = PendingChunk(

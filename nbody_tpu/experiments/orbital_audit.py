@@ -167,10 +167,18 @@ def reference_ephemeris(el: dict, line1: str, line2: str, times_s):
     from nbody_tpu.experiments import _sgp4
 
     # One propagator serves both the flag and the samples (the deep-space
-    # _dscom/_dsinit setup is the expensive part of construction).
-    prop = _sgp4.SGP4(_sgp4.elements_from_tle(line1, line2))
-    pos = np.asarray([prop.propagate(t / 60.0)[0] for t in times_s])
-    return pos, ("sdp4" if prop.is_deep_space else "sgp4")
+    # _dscom/_dsinit setup is the expensive part of construction). A
+    # pathological TLE (e.g. a decaying object whose perturbed eccentricity
+    # drifts out of [0, 1) over the horizon) raises inside the propagator;
+    # the audit must still produce a row for it, so fall back to the
+    # Kepler+J2 oracle and label it honestly — mirroring the reference's
+    # behavior of always completing the audit table.
+    try:
+        prop = _sgp4.SGP4(_sgp4.elements_from_tle(line1, line2))
+        pos = np.asarray([prop.propagate(t / 60.0)[0] for t in times_s])
+        return pos, ("sdp4" if prop.is_deep_space else "sgp4")
+    except (RuntimeError, ValueError):
+        return kepler_j2_reference(el, times_s), "kepler_j2(fallback)"
 
 
 def kepler_j2_reference(el: dict, times_s):

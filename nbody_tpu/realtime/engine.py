@@ -173,10 +173,10 @@ class CosmicWebEngine:
 
     def start(self):
         self.engine = self._new_engine()
-        stride = 1
-        if (self.snapshot_cap is not None
-                and self.engine.num_particles > self.snapshot_cap):
-            stride = -(-self.engine.num_particles // self.snapshot_cap)
+        # The engine owns the cap->stride rule (snapshot_stride): the
+        # initial frame must decimate exactly like every dispatched frame
+        # or monitor buffers sized off frame 0 break.
+        stride = self.engine.snapshot_stride
         self.state.publish_snapshot(
             np.asarray(self.engine.positions[::stride]),
             np.asarray(self.engine.velocities[::stride]),

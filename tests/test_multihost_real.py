@@ -34,18 +34,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def two_process_results(tmp_path_factory):
-    """Run the two workers once; both module tests read the results."""
-    tmp = tmp_path_factory.mktemp("mh")
-    port = _free_port()
+def _spawn_workers(tmp, port):
+    """One attempt: spawn both workers on `port`, wait, return
+    (procs, outs, logs)."""
     env = dict(os.environ, PYTHONPATH=REPO)
     # The workers own their device topology (they REPLACE XLA_FLAGS); the
     # parent's 8-device flags and any TPU platform pin must not leak in a
     # way the worker can't override — it sets everything pre-import.
     procs, outs = [], []
     for pid in range(2):
-        out = tmp / f"p{pid}.json"
+        out = tmp / f"p{pid}_{port}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--process-id", str(pid),
@@ -63,6 +61,29 @@ def two_process_results(tmp_path_factory):
                 q.kill()
             pytest.fail("two-process jax.distributed run timed out")
         logs.append(stdout.decode(errors="replace"))
+    return procs, outs, logs
+
+
+@pytest.fixture(scope="module")
+def two_process_results(tmp_path_factory):
+    """Run the two workers once; both module tests read the results.
+
+    _free_port() probes then CLOSES the socket, so another process can
+    grab the port before the coordinator binds it (TOCTOU). A bind
+    failure is detectable from the worker log — retry on a fresh port
+    instead of flaking the whole module."""
+    tmp = tmp_path_factory.mktemp("mh")
+    for attempt in range(3):
+        procs, outs, logs = _spawn_workers(tmp, _free_port())
+        bind_race = any(
+            p.returncode != 0 and any(
+                marker in log.lower()
+                for marker in ("address already in use", "failed to bind",
+                               "address in use"))
+            for p, log in zip(procs, logs))
+        if bind_race and attempt < 2:
+            continue
+        break
     results = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (

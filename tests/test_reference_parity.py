@@ -30,6 +30,13 @@ def test_reference_mode_strings_canonicalised():
     assert canonical_reference_mode("fp32") == "float32"
     assert canonical_reference_mode("bf16") == "bf16"
     assert canonical_reference_mode("int4") == "int4"
+    # Reference-parser synonyms collapse to ONE spelling each so every
+    # alias keys the SAME committed cache file (a miss silently re-runs
+    # the ~1 h torch reference).
+    assert canonical_reference_mode("bfloat16") == "bf16"
+    assert canonical_reference_mode("int4_sim") == "int4"
+    assert canonical_reference_mode("int8_sim") == "int8"
+    assert canonical_reference_mode("fp16") == "float16"
     with pytest.raises(ValueError, match="silently run FLOAT64"):
         canonical_reference_mode("f99")
     with pytest.raises(ValueError):

@@ -284,3 +284,25 @@ def test_low_perigee_simplified_branch():
     r = np.linalg.norm(pos)
     assert 6500.0 < r < 6800.0
     assert np.isfinite(pos).all() and np.isfinite(vel).all()
+
+
+def test_reference_ephemeris_falls_back_on_propagator_failure(monkeypatch):
+    """A pathological TLE that raises inside SGP4/SDP4 (e.g. perturbed
+    eccentricity drifting out of range over the horizon) must not abort
+    the audit: reference_ephemeris falls back to the Kepler+J2 oracle
+    and labels it honestly (reference behavior: the library wrapper's
+    audit always completes a row, orbital_audit.py:147-182)."""
+    from nbody_tpu.experiments import _sgp4 as sgp4_mod
+    from nbody_tpu.experiments import orbital_audit
+
+    def boom(self, tsince_min):
+        raise RuntimeError("SDP4: eccentricity out of range 1.01")
+
+    monkeypatch.setattr(sgp4_mod.SGP4, "propagate", boom)
+    el = orbital_audit.parse_tle(ISS_L1, ISS_L2)
+    times = np.linspace(0.0, 3600.0, 7)
+    pos, oracle = orbital_audit.reference_ephemeris(
+        el, ISS_L1, ISS_L2, times)
+    assert oracle == "kepler_j2(fallback)"
+    assert pos.shape == (7, 3)
+    assert np.isfinite(pos).all()

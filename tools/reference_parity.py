@@ -61,7 +61,15 @@ REFERENCE_MODE_STRINGS = frozenset({
 _TO_REFERENCE_MODE = {
     "f64": "float64", "fp64": "float64",
     "f32": "float32", "fp32": "float32",
-    "f16": "float16", "half": "float16",
+    "f16": "float16", "half": "float16", "fp16": "float16",
+    # Collapse the reference parser's own synonyms to ONE spelling each,
+    # matching the committed cache filenames (ref_*_bf16.json,
+    # ref_*_int4.json): without this, run_reference_cached("bfloat16")
+    # keys a different cache file than ("bf16") and silently re-runs the
+    # ~1 h torch reference instead of hitting the committed trajectory.
+    "bfloat16": "bf16",
+    "int4_sim": "int4",
+    "int8_sim": "int8",
 }
 
 
