@@ -173,8 +173,12 @@ def reference_ephemeris(el: dict, line1: str, line2: str, times_s):
     # the audit must still produce a row for it, so fall back to the
     # Kepler+J2 oracle and label it honestly — mirroring the reference's
     # behavior of always completing the audit table.
+    # TLE parsing stays OUTSIDE the try: a malformed/corrupted TLE is a
+    # data bug that must surface, not be silently relabeled as a
+    # propagation fallback over possibly mis-parsed elements.
+    elements = _sgp4.elements_from_tle(line1, line2)
     try:
-        prop = _sgp4.SGP4(_sgp4.elements_from_tle(line1, line2))
+        prop = _sgp4.SGP4(elements)
         pos = np.asarray([prop.propagate(t / 60.0)[0] for t in times_s])
         return pos, ("sdp4" if prop.is_deep_space else "sgp4")
     except (RuntimeError, ValueError):

@@ -227,6 +227,12 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     perm = rng.permutation(args.stars)
     for mode in args.modes.split(","):
+        # Key the report by the canonical spelling so '--modes bfloat16'
+        # and '--modes bf16' (which already share a cache file) also emit
+        # identically-keyed rows — report merges must never see two keys
+        # for the same data (the f16/float64 row mixup grew from exactly
+        # this kind of key drift).
+        mode = canonical_reference_mode(mode)
         ref_d, ref_pos, _ = run_reference_cached(
             pos, vel, m, mode, args.ticks, args.interval, args.seed,
             refresh=args.refresh_cache)
