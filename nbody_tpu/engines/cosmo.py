@@ -386,15 +386,19 @@ class CosmologicalEngine:
         # diagnostics within 4x of overflow. Because the PM force is linear
         # in the mass scale (acc ~ G * mean_rho * delta), accelerations —
         # and therefore every position/velocity trajectory and physics
-        # verdict — are unchanged (up to f32 rounding); only the
-        # energy/momentum histories
-        # change units (multiply by mass_unit_msun for M_sun-weighted
-        # values).
+        # verdict — are unchanged (up to f32 rounding). Device reductions
+        # run in the safe normalized units; the HOST boundary (collect_step,
+        # get_kinetic_energy, get_total_momentum) multiplies mass_unit_msun
+        # back in, so histories, the glitch detector (whose momentum check
+        # uses the reference's ABSOLUTE M_sun-weighted threshold,
+        # universe_2d.py:388-401), and exports all see reference units.
         self.mass_unit_msun = float(jnp.mean(masses))
         if self.mass_unit_msun > 0:
             masses = masses / self.mass_unit_msun
             self.cfg = dataclasses.replace(
                 self.cfg, G=self.cfg.G * self.mass_unit_msun)
+        else:  # degenerate ICs (massless test fixtures): no normalization,
+            self.mass_unit_msun = 1.0  # and the host-side restore is a no-op
         self.state = CosmoState(pos, vel, masses,
                                 jnp.asarray(start_redshift, jnp.float32),
                                 jnp.asarray(0, jnp.int32))
@@ -681,8 +685,12 @@ class CosmologicalEngine:
         for i in range(num_steps):
             tick = pending.tick_start + 1 + i
             z = float(stream.redshift[i])
-            ke = float(stream.kinetic[i])
-            mom = tuple(float(x) for x in stream.momentum[i])
+            # Restore M_sun-weighted units at the host boundary (device
+            # sums run on normalized masses; the detector's momentum
+            # threshold is absolute in reference units).
+            ke = float(stream.kinetic[i]) * self.mass_unit_msun
+            mom = tuple(float(x) * self.mass_unit_msun
+                        for x in stream.momentum[i])
             self.history["energy"].append(ke)
             for ev in (
                 self.glitch_detector.check_energy_conservation(ke, tick, z),
@@ -791,14 +799,17 @@ class CosmologicalEngine:
 
     def get_kinetic_energy(self) -> float:
         # Raw (possibly padded) state is safe here: phantom rows carry
-        # zero mass, so mass-weighted sums need no trim/gather.
+        # zero mass, so mass-weighted sums need no trim/gather. The device
+        # sum runs on normalized masses; M_sun units restored on host.
         v_sq = jnp.sum(self.state.velocities ** 2, axis=-1)
-        return float(0.5 * jnp.sum(self.state.masses * v_sq))
+        return float(0.5 * jnp.sum(self.state.masses * v_sq)) \
+            * self.mass_unit_msun
 
     def get_total_momentum(self):
         mom = jnp.sum(self.state.masses[:, None] * self.state.velocities,
                       axis=0)
-        return tuple(float(x) for x in np.asarray(mom))
+        return tuple(float(x) * self.mass_unit_msun
+                     for x in np.asarray(mom))
 
     def compute_power_spectrum(self, n_grid: int = 64, num_bins: int = 20):
         k, pk = pm.power_spectrum(self.positions, self.cfg.box_size,

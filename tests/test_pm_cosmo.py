@@ -177,16 +177,23 @@ def test_engine_mass_units_leave_f32_headroom(engine2d):
     np.testing.assert_allclose(m.mean(), 1.0, rtol=1e-5)
     assert e.mass_unit_msun > 1e12  # physical unit preserved for export
     assert e.get_state_dict()["mass_unit_msun"] == e.mass_unit_msun
-    # Velocities in reference units reach ~5e9 under int4 energy injection
-    # (that's the physics under study), so per-unit-mass KE is ~1e22; the
-    # requirement is overflow *headroom*: >= 8 orders below f32 max
-    # (raw reference units sat within 4x of overflow).
+    # The DEVICE f32 reductions run on the normalized masses — that sum
+    # is the thing that must keep >= 8 orders of headroom below f32 max
+    # (raw reference units sat within 4x of overflow). The HOST boundary
+    # (get_kinetic_energy / get_total_momentum / history) multiplies
+    # mass_unit_msun back in, in python f64 — reference M_sun units with
+    # no overflow risk.
+    import jax.numpy as jnp
+    ke_device = float(0.5 * jnp.sum(
+        e.state.masses * jnp.sum(e.state.velocities ** 2, axis=-1)))
+    assert np.isfinite(ke_device) and abs(ke_device) < 1e30
     ke = e.get_kinetic_energy()
-    assert np.isfinite(ke) and abs(ke) < 1e30
-    assert all(np.isfinite(p) and abs(p) < 1e30
-               for p in e.get_total_momentum())
+    assert np.isfinite(ke)
+    np.testing.assert_allclose(ke, ke_device * e.mass_unit_msun,
+                               rtol=1e-6)
+    assert all(np.isfinite(p) for p in e.get_total_momentum())
     if e.history["energy"]:
-        assert max(abs(x) for x in e.history["energy"]) < 1e30
+        assert all(np.isfinite(x) for x in e.history["energy"])
 
 
 def test_engine_subnormal_history_is_dense(engine2d):
