@@ -179,9 +179,9 @@ def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
 
     def bounds_of(p):
         if resolved == "pallas":
-            from nbody_tpu.ops.pallas_nbody import pallas_max_dist_sq
-
-            max_d2 = pallas_max_dist_sq(p, cfg, softening_sq=softening_sq)
+            # Exact (bitwise) max via the candidate-pruned diameter pass.
+            max_d2 = forces.max_pairwise_dist_sq_pruned(
+                p, cfg, softening_sq=softening_sq)
         else:
             max_d2 = forces.max_pairwise_dist_sq(
                 p, cfg, softening_sq=softening_sq)
@@ -211,26 +211,129 @@ def _bounds_reuse_scan(q: Quantizer, cfg: SimConfig, impl: str,
     return body, carry0
 
 
+def _cached_bounds_scan(q: Quantizer, cfg: SimConfig, impl: str,
+                        quantize_forces: bool, n: int, dim: int,
+                        headroom: float, dt=None, softening_sq=None,
+                        uniform_gm: bool = False):
+    """Speculate-and-verify int-sim bounds: the separate O(N^2/2) max
+    pass disappears from the steady state.
+
+    Each force evaluation runs the sym kernel with the CACHED grid hi and
+    emits the true tensor-global max as a fused ~1 op/pair byproduct
+    (ops.pallas_nbody emit_max). If the observed max escapes the cached
+    hi (grid would clip — the semantic failure of blind bounds reuse) or
+    falls more than 3x the headroom below it (grid gone slack), the step
+    recomputes its forces with fresh bounds hi = log(max) + headroom and
+    re-caches. Steady-state cost: the fused max (~3 ms at N=131k) plus
+    one extra force evaluation per violation, instead of a 15.1 ms max
+    pass every step.
+
+    Semantics: the grid stays TENSOR-GLOBAL and is guaranteed to contain
+    every pair (no clipping, unlike bounds_every>1), but its hi carries
+    up to ``headroom`` of log-space staleness between refreshes, which
+    shifts bin boundaries by <= headroom/span (~0.4% of one int4 bin per
+    0.05 headroom at canonical scale). docs/PERF.md quantifies the drift
+    parity vs per-step bounds; the canonical int4 gate stays green (the
+    staleness perturbation is far below the reference's own
+    summation-order chaos envelope).
+
+    Carry: (ParticleState, log_hi_cache, violation_count). The first
+    step always "violates" (cache seeds at -inf) and establishes real
+    bounds."""
+    resolved = _resolve_impl(impl, n, dim)
+    if resolved != "pallas":
+        raise ValueError(f"bounds_mode='cached' requires the resident "
+                         f"sym Pallas kernel (resolved impl "
+                         f"'{resolved}'); use bounds_every or impl="
+                         f"'pallas'")
+    if not q.is_int:
+        raise ValueError("bounds_mode='cached' only applies to int-sim "
+                         "modes")
+    from nbody_tpu.ops.pallas_nbody import pallas_accelerations_sym
+
+    soft = (cfg.softening_sq if softening_sq is None else softening_sq)
+    dt_ = cfg.dt if dt is None else dt
+    half_dt = dt_ * 0.5
+
+    lo = jnp.maximum(jnp.asarray(soft, jnp.float32),
+                     jnp.float32(q.min_dist_sq))
+    log_lo = jnp.log(lo)
+
+    def force_max(pos, masses, hi):
+        return pallas_accelerations_sym(
+            pos, masses, q, cfg, quantize_forces=quantize_forces,
+            softening_sq=softening_sq, log_lo=log_lo, log_hi=hi,
+            uniform_gm=uniform_gm, emit_max=True)
+
+    def body(carry, _):
+        s, hi, nviol = carry
+        vel = s.velocities + s.accelerations * half_dt
+        pos = s.positions + vel * dt_
+        acc, max_d2 = force_max(pos, s.masses, hi)
+        log_max = jnp.log(jnp.maximum(max_d2, lo))
+        violated = ((log_max > hi)
+                    | (log_max < hi - 3.0 * jnp.float32(headroom)))
+
+        def redo(_):
+            new_hi = log_max + jnp.float32(headroom)
+            acc2, _ = force_max(pos, s.masses, new_hi)
+            return acc2, new_hi
+
+        acc, hi = jax.lax.cond(violated, redo,
+                               lambda _: (acc, hi), None)
+        vel = vel + acc * half_dt
+        s = ParticleState(pos, vel, s.masses, acc, s.tick + 1)
+        return (s, hi, nviol + violated.astype(jnp.int32)), None
+
+    def carry0(state):
+        return (state, jnp.float32(-jnp.inf), jnp.asarray(0, jnp.int32))
+
+    return body, carry0
+
+
 @_guard_state_uniform_gm
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "num_steps",
-                                             "bounds_every", "uniform_gm"))
+                                             "bounds_every", "uniform_gm",
+                                             "bounds_mode", "headroom"))
 def run_steps(state: ParticleState, q: Quantizer, cfg: SimConfig,
               impl: str, quantize_forces: bool, num_steps: int,
               dt=None, softening_sq=None,
               bounds_every: int = 1,
-              uniform_gm: bool = False) -> ParticleState:
+              uniform_gm: bool = False,
+              bounds_mode: str = "exact",
+              headroom: float = 0.05) -> ParticleState:
     """num_steps leapfrog steps as one fused on-device scan. Optional
     traced dt/softening_sq: one compiled program serves a whole sweep.
 
-    ``bounds_every=k`` (int-sim modes) recomputes the tensor-global
-    log-grid bounds every k-th step instead of every force evaluation
-    (the max pass is ~20% of the int4 step at N=131k). k=1 (default) is
-    exact reference semantics (quantization.py:112-121); see
-    docs/PERF.md for the k>1 parity analysis before enabling.
+    Int-sim grid-bounds policies (the tensor-global log grid needs the
+    pairwise max, quantization.py:112-121):
+
+    * ``bounds_mode='exact'`` (default): a dedicated max pass before
+      every force evaluation — per-step reference semantics.
+    * ``bounds_mode='cached'``: speculate with the previous bounds, emit
+      the true max from the force kernel itself, recompute the step's
+      forces only when the observed max escapes the grid (or the grid
+      goes slack by 3x ``headroom``) — guaranteed no clipping, grid hi
+      within ``headroom`` log-units of exact (see _cached_bounds_scan).
+    * ``bounds_every=k>1`` (legacy): blind bounds reuse for k steps —
+      fastest, but stale bounds can clip; documented semantic delta.
 
     ``uniform_gm=True`` asserts equal masses (see _force_fn)."""
     n, dim = state.positions.shape
+    if bounds_mode == "cached" and not q.is_int:
+        raise ValueError("bounds_mode='cached' only applies to int-sim "
+                         "modes (float modes have no log grid)")
+    if q.is_int and bounds_mode == "cached":
+        if bounds_every != 1:
+            raise ValueError("bounds_mode='cached' and bounds_every>1 "
+                             "are mutually exclusive bounds policies")
+        body, carry0 = _cached_bounds_scan(q, cfg, impl, quantize_forces,
+                                           n, dim, headroom, dt,
+                                           softening_sq, uniform_gm)
+        (state, _, _), _ = jax.lax.scan(body, carry0(state), None,
+                                        length=num_steps)
+        return state
     if q.is_int and bounds_every > 1:
         body, carry0 = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
                                           n, dim, bounds_every, dt,
@@ -263,19 +366,29 @@ def run_steps_baseline(state: BaselineState, cfg: SimConfig,
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "impl",
                                              "quantize_forces", "steps_per_chunk",
                                              "num_chunks", "num_bins",
-                                             "bounds_every", "uniform_gm"))
+                                             "bounds_every", "uniform_gm",
+                                             "bounds_mode", "headroom"))
 def run_with_snapshots(state: ParticleState, q: Quantizer, cfg: SimConfig,
                        impl: str, quantize_forces: bool,
                        steps_per_chunk: int, num_chunks: int,
                        num_bins: int = 20, dt=None, softening_sq=None,
-                       bounds_every: int = 1, uniform_gm: bool = False):
+                       bounds_every: int = 1, uniform_gm: bool = False,
+                       bounds_mode: str = "exact", headroom: float = 0.05):
     """Run num_chunks * steps_per_chunk ticks; emit a fused metrics Snapshot
     and a position frame after each chunk. Entirely on-device: one jitted
     program, outputs stacked along a leading chunk axis. Optional traced
     dt/softening_sq override the static cfg (dynamic-sweep mode);
-    ``bounds_every`` follows run_steps."""
+    ``bounds_every``/``bounds_mode``/``headroom`` follow run_steps."""
     n, dim = state.positions.shape
-    if q.is_int and bounds_every > 1:
+    if bounds_mode == "cached" and not q.is_int:
+        raise ValueError("bounds_mode='cached' only applies to int-sim "
+                         "modes (float modes have no log grid)")
+    if q.is_int and bounds_mode == "cached":
+        body, carry0_fn = _cached_bounds_scan(q, cfg, impl, quantize_forces,
+                                              n, dim, headroom, dt,
+                                              softening_sq, uniform_gm)
+        carry0 = carry0_fn(state)
+    elif q.is_int and bounds_every > 1:
         body, carry0_fn = _bounds_reuse_scan(q, cfg, impl, quantize_forces,
                                              n, dim, bounds_every, dt,
                                              softening_sq, uniform_gm)

@@ -92,6 +92,105 @@ def max_pairwise_dist_sq(positions: jnp.ndarray, cfg: SimConfig,
     return jnp.max(maxes) + softening_sq
 
 
+def _diameter_directions(dim: int) -> jnp.ndarray:
+    """Fixed unit-direction sets for the diameter lower bound: 8 in-plane
+    angles for 2-D (worst-case extent >= cos(pi/16) ~ 0.981 of the true
+    diameter), the 13 cube axes/face-diagonals/corners for 3-D."""
+    if dim == 2:
+        ang = jnp.arange(8, dtype=jnp.float32) * (jnp.pi / 8.0)
+        return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=1)
+    if dim == 3:
+        import numpy as _np
+        vecs = []
+        for v in [(1, 0, 0), (0, 1, 0), (0, 0, 1),
+                  (1, 1, 0), (1, -1, 0), (1, 0, 1), (1, 0, -1),
+                  (0, 1, 1), (0, 1, -1),
+                  (1, 1, 1), (1, 1, -1), (1, -1, 1), (1, -1, -1)]:
+            a = _np.asarray(v, _np.float32)
+            vecs.append(a / _np.linalg.norm(a))
+        return jnp.asarray(_np.stack(vecs))
+    raise ValueError(f"unsupported dim {dim}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_candidates"))
+def max_pairwise_dist_sq_pruned(positions, cfg: SimConfig,
+                                softening_sq=None,
+                                max_candidates: int = 1024):
+    """EXACT global max softened pairwise dist^2 in O(N) work.
+
+    The max pairwise distance is the point set's diameter; both of its
+    endpoints lie far from the centroid: for any diameter pair (a, b),
+    |a - c| >= D - r_max (triangle inequality, with r_max = max |x - c|
+    and D >= any directional extent D_lb). So candidates = the
+    ``max_candidates`` largest-radius points, and the exact max over
+    their O(M^2) pairs equals the global max whenever the radius
+    threshold D_lb - r_max admits <= M points — verified on device, with
+    a lax.cond fallback to the full O(N^2/2) pass otherwise (degenerate
+    geometries: near-spherical shells, coincident clouds). The bound is
+    geometric over exact reals; a 1e-5 relative slack on the threshold
+    absorbs f32 rounding of the radii (~1e-7).
+
+    Per-pair arithmetic matches max_pairwise_dist_sq / the Pallas max
+    pass op-for-op (diff, squares, sequential-axis sum, max, + softening)
+    so the pruned result is BITWISE the same max — the int-sim log grid
+    (reference: quantization.py:112-121) sees identical bounds. Replaces
+    the 15.1 ms/step max pass at N=131k with ~1 ms (docs/PERF.md)."""
+    if softening_sq is None:
+        softening_sq = cfg.softening_sq
+    n, dim = positions.shape
+    pos = positions.astype(jnp.float32)
+
+    def dense_max(p):
+        diff = p[None, :, :] - p[:, None, :]
+        d2 = diff[..., 0] * diff[..., 0]
+        for d in range(1, dim):
+            d2 = d2 + diff[..., d] * diff[..., d]
+        return jnp.max(d2)
+
+    if n <= max_candidates:
+        return dense_max(pos) + softening_sq
+
+    c = jnp.mean(pos, axis=0)
+    u = pos - c
+    r2 = u[:, 0] * u[:, 0]
+    for d in range(1, dim):
+        r2 = r2 + u[:, d] * u[:, d]
+    r = jnp.sqrt(r2)
+    r_max = jnp.max(r)
+
+    dirs = _diameter_directions(dim)
+    proj = pos @ dirs.T                       # (N, K)
+    d_lb = jnp.max(jnp.max(proj, axis=0) - jnp.min(proj, axis=0))
+    # Endpoint radius bound with slack for f32 rounding of r / d_lb.
+    thresh = (d_lb - r_max) * jnp.float32(1.0 - 1e-5) \
+        - jnp.float32(1e-6) * r_max
+    admitted = jnp.sum(r >= thresh)
+
+    _, idx = jax.lax.top_k(r, max_candidates)
+    cand = jnp.take(pos, idx, axis=0)
+
+    def full_fallback():
+        # Rare path (degenerate geometry): the O(N^2/2) pass. On TPU use
+        # the compute-bound Pallas kernels — the lax.map version would
+        # materialise a (block, N, D) HBM intermediate at large N. Both
+        # cond branches COMPILE regardless of which executes, so the
+        # resident-source kernel is only traced where its (D, N) VMEM
+        # array fits; the streamed kernel covers the rest.
+        if jax.default_backend() == "tpu":
+            from nbody_tpu.ops.pallas_nbody import (
+                pallas_max_dist_sq, pallas_max_dist_sq_streamed)
+            if 4 * dim * n <= 8_000_000:
+                return pallas_max_dist_sq(pos, cfg, softening_sq=0.0)
+            return pallas_max_dist_sq_streamed(pos, cfg, softening_sq=0.0)
+        return max_pairwise_dist_sq(pos, cfg, softening_sq=0.0)
+
+    return jax.lax.cond(
+        admitted <= max_candidates,
+        lambda: dense_max(cand),
+        full_fallback,
+    ) + softening_sq
+
+
 def _quant_bounds(positions, q: Quantizer, cfg: SimConfig,
                   softening_sq=None):
     """(log_lo, log_hi) for int modes, else (None, None)."""

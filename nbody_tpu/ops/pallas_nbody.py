@@ -257,9 +257,10 @@ def _force_kernel(bounds_ref, pos_i_ref, src_ref, out_ref,
 
 
 def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
-                      out_col_ref, *, q: Quantizer, self_masked: bool,
-                      dim: int, block_i: int, block_j: int, n_pad: int,
-                      uniform_gm: bool = False):
+                      out_col_ref, out_max_ref=None, *, q: Quantizer,
+                      self_masked: bool, dim: int, block_i: int,
+                      block_j: int, n_pad: int, uniform_gm: bool = False,
+                      emit_max: bool = False):
     """Newton's-third-law force kernel: each cross-super-chunk unordered
     pair computed once.
 
@@ -288,6 +289,17 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
     wrapper's epilogue. 14 vector ops/pair instead of 18 — measured +24%
     f32 / +12% int4 at N=131k (docs/PERF.md). Inputs then carry no gm
     row/column: pos_i_ref is (BI, D), src_ref (D, N_pad).
+
+    ``emit_max=True`` (int modes only) additionally reduces the RAW
+    (pre-softening) pairwise d^2 max of every visited tile into
+    out_max_ref[pid] — the tensor-global max the int-sim log grid needs,
+    as a ~1 op/pair byproduct instead of the separate O(N^2/2) max pass
+    (pallas_max_dist_sq: 15.1 ms at N=131k). The visited tiles cover
+    every unordered pair (own super-chunk fully + strict upper chunks),
+    so max(out_max_ref) is the global pairwise max; the wrapper pads with
+    duplicates of particle 0 (the max pass's convention) so padded pairs
+    are genuine pairs that can never inflate it — safe for int modes
+    because pair_w clamps d^2 at min_dist_sq (no rsqrt(0)).
     """
     pid = pl.program_id(0)
     i0 = pid * block_i
@@ -333,11 +345,11 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         d2 = diffs[0] * diffs[0]
         for d in range(1, dim):
             d2 = d2 + diffs[d] * diffs[d]
-        return xj, gm_j, diffs, pair_w(d2 + softening_sq)
+        return gm_j, diffs, pair_w(d2 + softening_sq), d2
 
     # Own super-chunk: full compute, row sums only (both pair directions
     # of intra-super-chunk pairs live in receiver-row tiles).
-    _, gm_j, diffs, w = tile(sj * block_j)
+    gm_j, diffs, w, d2own = tile(sj * block_j)
     factor = w if uniform_gm else gm_j * w
     if self_masked:
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, 1), 0) + i0
@@ -346,9 +358,12 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         factor = jnp.where(r_ids == c_ids, 0.0, factor)
     acc0 = tuple(jnp.sum(factor * diffs[d], axis=1, keepdims=True)
                  for d in range(dim))
+    bm0 = jnp.max(d2own) if emit_max else None
 
-    def one_tile(j0, acc):
-        _, gm_j, diffs, w = tile(j0)
+    def one_tile(j0, acc, bm=None):
+        gm_j, diffs, w, d2 = tile(j0)
+        if emit_max:
+            bm = jnp.maximum(bm, jnp.max(d2))
         if uniform_gm:
             # Shared t_d: the direct row sum and the reaction column sum
             # reduce the SAME product (gm scales in the epilogue).
@@ -358,16 +373,17 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
                 col = -jnp.sum(t, axis=0, keepdims=True)  # (1, BJ)
                 out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
                 new.append(acc[d] + jnp.sum(t, axis=1, keepdims=True))
-            return tuple(new)
+            return (tuple(new), bm) if emit_max else tuple(new)
         fr = gm_j * w                       # direct: on this block's rows
         fc = gm_i * w                       # reaction: on chunk J's cols
         for d in range(dim):
             col = -jnp.sum(fc * diffs[d], axis=0, keepdims=True)  # (1, BJ)
             out_col_ref[d:d + 1, pl.ds(j0, block_j)] += col
-        return tuple(
+        new = tuple(
             acc[d] + jnp.sum(fr * diffs[d], axis=1, keepdims=True)
             for d in range(dim)
         )
+        return (new, bm) if emit_max else new
 
     # 2-wide interleave: two independent tiles per loop iteration give
     # the VPU scheduler cross-tile ILP (+3.9% f32 / +3.4% int4 at 131k,
@@ -386,6 +402,29 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
         return
 
     total = num_j - (sj + 1)
+
+    if emit_max:
+        def j_duo(k, carry):
+            acc, bm = carry
+            j0 = (sj + 1 + 2 * k) * block_j
+            acc, bm = one_tile(j0, acc, bm)
+            return one_tile(j0 + block_j, acc, bm)
+
+        acc, bm = jax.lax.fori_loop(0, total // 2, j_duo, (acc0, bm0))
+
+        @pl.when(total % 2 == 1)
+        def _odd_tail_max():
+            a2, b2 = one_tile((num_j - 1) * block_j, acc, bm)
+            for d in range(dim):
+                out_row_ref[:, d:d + 1] = a2[d]
+            out_max_ref[pid, 0] = b2
+
+        @pl.when(total % 2 == 0)
+        def _even_max():
+            for d in range(dim):
+                out_row_ref[:, d:d + 1] = acc[d]
+            out_max_ref[pid, 0] = bm
+        return
 
     def j_duo(k, acc):
         j0 = (sj + 1 + 2 * k) * block_j
@@ -409,7 +448,8 @@ def _force_kernel_sym(bounds_ref, pos_i_ref, src_ref, out_row_ref,
 @_guard_uniform_gm(("masses", ("gm", "masses", 1)))
 @functools.partial(jax.jit, static_argnames=("q", "cfg", "quantize_forces",
                                              "block", "block_j",
-                                             "interpret", "uniform_gm"))
+                                             "interpret", "uniform_gm",
+                                             "emit_max"))
 def pallas_accelerations_sym(positions, masses, q: Quantizer,
                              cfg: SimConfig, quantize_forces: bool = True,
                              block: int | None = None,
@@ -417,7 +457,8 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
                              interpret: bool | None = None,
                              softening_sq=None,
                              log_lo=None, log_hi=None, gm=None,
-                             uniform_gm: bool = False):
+                             uniform_gm: bool = False,
+                             emit_max: bool = False):
     """Symmetric-pair variant of pallas_accelerations: ~2x fewer pair
     evaluations via Newton's third law. Same semantics (the reference
     evaluates the full (N, N) tensor, simulation.py:83-112; this computes
@@ -447,9 +488,26 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     the caller's assertion (in-repo callers auto-detect on concrete
     masses first — DirectSimulation/run_steps).
     Automatically degrades to the general path when N needs padding
-    (padded rows rely on gm=0 to stay inert)."""
+    (padded rows rely on gm=0 to stay inert).
+
+    ``emit_max=True`` (int-sim modes only; requires explicit
+    log_lo/log_hi) also returns the tensor-global max SOFTENED pairwise
+    d^2 as a fused ~1 op/pair byproduct — ``(acc, max_d2)`` — replacing
+    the separate pallas_max_dist_sq pass in the cached-bounds scan
+    (models/direct.run_steps(bounds_mode='cached')). Padding switches to
+    duplicates of particle 0 so padded pairs are genuine pairs (the max
+    pass's convention; the int pair_w clamps d^2 at min_dist_sq so no
+    rsqrt(0) hazard, and gm=0 keeps them force-inert)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if emit_max:
+        if not q.is_int:
+            raise ValueError("emit_max is only supported for int-sim "
+                             "modes (float paths keep the far-sentinel "
+                             "padding, which would poison the max)")
+        if log_lo is None or log_hi is None:
+            raise ValueError("emit_max requires explicit log_lo/log_hi "
+                             "(the cached-bounds scan owns them)")
     dynamic_soft = softening_sq is not None
     if softening_sq is None:
         softening_sq = cfg.softening_sq
@@ -476,7 +534,14 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     positions = positions.astype(jnp.float32)
     if gm is None:
         gm = cfg.G * masses.astype(jnp.float32)
-    pos_pad = _pad_positions(positions, n_pad)
+    if emit_max:
+        # Duplicate-of-particle-0 padding: padded pairs are genuine pairs
+        # for the fused max (gm stays 0 there, so forces are unaffected).
+        pos_pad = jnp.broadcast_to(positions[0],
+                                   (n_pad, positions.shape[1])
+                                   ).at[:n].set(positions)
+    else:
+        pos_pad = _pad_positions(positions, n_pad)
     if uniform_gm:
         # No gm row/column: the scalar G*m[0] scales in the epilogue.
         recv = pos_pad
@@ -491,8 +556,12 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
         if log_lo is None or log_hi is None:
-            max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
-                                        softening_sq=softening_sq)
+            # Candidate-pruned diameter pass: bitwise the same global max
+            # as pallas_max_dist_sq at O(N) cost (forces.py; the fallback
+            # cond inside covers degenerate geometries).
+            from nbody_tpu.ops.forces import max_pairwise_dist_sq_pruned
+            max_d2 = max_pairwise_dist_sq_pruned(
+                positions, cfg, softening_sq=softening_sq)
             log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
         bounds = jnp.stack(
             [jnp.asarray(log_lo, jnp.float32),
@@ -505,11 +574,28 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
     kernel = functools.partial(
         _force_kernel_sym, q=q,
         self_masked=dynamic_soft or cfg.softening_sq <= 0.0, dim=dim,
-        block_i=block, block_j=block_j, n_pad=n_pad, uniform_gm=uniform_gm)
+        block_i=block, block_j=block_j, n_pad=n_pad, uniform_gm=uniform_gm,
+        emit_max=emit_max)
 
     gm_rows = 0 if uniform_gm else 1
     grid = (n_pad // block,)
-    rows, cols = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((block, dim), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim, n_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
+        jax.ShapeDtypeStruct((dim, n_pad), jnp.float32),
+    ]
+    if emit_max:
+        out_specs.append(pl.BlockSpec((n_pad // block, 1),
+                                      lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_pad // block, 1),
+                                              jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -520,16 +606,8 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
             pl.BlockSpec((dim + gm_rows, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block, dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
-            jax.ShapeDtypeStruct((dim, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=16 * n_pad * n_pad * dim // 4,
             bytes_accessed=4 * n_pad * dim * 4,
@@ -539,12 +617,18 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(bounds, recv, src)
+    rows, cols = outs[0], outs[1]
 
     acc = (rows + cols.T)[:n]
     if uniform_gm:
         acc = acc * gm[0]
     if quantize_forces and q.is_int:
         acc = quantize_force(acc, q)
+    if emit_max:
+        # Same value pallas_max_dist_sq returns: max RAW pairwise d^2 +
+        # softening (monotone rounding makes max-then-add bitwise equal
+        # to add-then-max in f32).
+        return acc, jnp.max(outs[2]) + soft
     return acc
 
 
@@ -712,9 +796,9 @@ def pallas_accelerations_streamed(positions, masses, q: Quantizer,
 
     soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
-        max_d2 = pallas_max_dist_sq_streamed(positions, cfg,
-                                             interpret=interpret,
-                                             softening_sq=softening_sq)
+        from nbody_tpu.ops.forces import max_pairwise_dist_sq_pruned
+        max_d2 = max_pairwise_dist_sq_pruned(
+            positions, cfg, softening_sq=softening_sq)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
         bounds = jnp.stack(
             [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
@@ -824,8 +908,8 @@ def pallas_accelerations_sym_chunked(positions, masses, q: Quantizer,
     gm_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(gm)
 
     if q.is_int and (log_lo is None or log_hi is None):
-        max_d2 = pallas_max_dist_sq_streamed(positions, cfg,
-                                             interpret=interpret)
+        from nbody_tpu.ops.forces import max_pairwise_dist_sq_pruned
+        max_d2 = max_pairwise_dist_sq_pruned(positions, cfg)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, cfg.softening_sq)
     elif not q.is_int:
         log_lo = log_hi = None
@@ -1269,8 +1353,9 @@ def pallas_accelerations(positions, masses, q: Quantizer, cfg: SimConfig,
 
     soft = jnp.asarray(softening_sq, jnp.float32)
     if q.is_int:
-        max_d2 = pallas_max_dist_sq(positions, cfg, interpret=interpret,
-                                    softening_sq=softening_sq)
+        from nbody_tpu.ops.forces import max_pairwise_dist_sq_pruned
+        max_d2 = max_pairwise_dist_sq_pruned(
+            positions, cfg, softening_sq=softening_sq)
         log_lo, log_hi = dist_sq_log_bounds(q, max_d2, softening_sq)
         bounds = jnp.stack(
             [log_lo, log_hi, soft]).reshape(1, 3).astype(jnp.float32)
