@@ -85,3 +85,42 @@ def test_bf16_f16_drift_matches_reference():
         ref_d, _, _ = run_reference(pos, vel, m, mode, 150, 50)
         our_d, _, _ = run_ours(pos, vel, m, mode, 150, 50)
         np.testing.assert_allclose(our_d, ref_d, atol=0.01)
+
+
+def test_int8_custom_drift_matches_reference():
+    """int8_sim and custom-level modes track the torch reference too —
+    the full int ladder (quantization.py:58-68), not just int4."""
+    import jax
+
+    from tools.reference_parity import run_ours, run_reference
+    from nbody_tpu.models.galaxy import create_disk_galaxy
+
+    pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(11), num_stars=200)
+    pos, vel, m = map(np.asarray, (pos, vel, m))
+    for mode in ("int8", "custom"):
+        ref_d, _, _ = run_reference(pos, vel, m, mode, 200, 50)
+        our_d, _, _ = run_ours(pos, vel, m, mode, 200, 50)
+        np.testing.assert_allclose(our_d, ref_d, rtol=0.05, atol=0.02,
+                                   err_msg=mode)
+
+
+def test_canonical_parity_report_complete():
+    """The committed canonical 5000x2000 parity evidence must carry a
+    PASSING row for every reference precision mode (the 7-mode ladder:
+    quantization.py:58-68) with its reference trajectory cached."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    report = json.loads(
+        (repo / "docs/reports/reference_parity_canonical.json").read_text())
+    expected = {"float64", "float32", "bf16", "float16",
+                "int8", "int4", "custom"}
+    assert expected <= set(report), sorted(expected - set(report))
+    for mode in expected:
+        row = report[mode]
+        assert row["drift_envelope_agree"], mode
+        assert row["radius_agree"], mode
+        cache = repo / ("tools/reference_cache/"
+                        f"ref_s5000_t2000_i100_seed42_{mode}.json")
+        assert cache.exists(), cache.name
