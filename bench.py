@@ -11,8 +11,8 @@ engine cannot reach this N at all — it is memory-bound out at ~10k
 particles (reference: simulation.py:83).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-f32 headline, with the int4 numbers as extra keys in the same object.
-Diagnostics go to stderr.
+f32 headline, with the int4 / N=1M / dim=3 (Plummer-sphere) / PM-engine
+numbers as extra keys in the same object. Diagnostics go to stderr.
 """
 
 import json
@@ -149,6 +149,60 @@ def main():
 
         result["n1m_f32_value"] = measure_big(Precision.FLOAT32, False)
         result["n1m_int4_value"] = measure_big(Precision.INT4_SIM, True)
+
+        # 3-D arms: the same flagship kernels on Plummer-sphere ICs
+        # (dim is a trace-time shape constant; the per-pair chain gains
+        # one subtract/square/fma lane at dim=3). The reference's 3-D
+        # engine is first-class (universe_3d.py), so the headline table
+        # carries 3-D rows too.
+        from nbody_tpu.models.galaxy import create_plummer_sphere
+
+        pos3, vel3, m3 = create_plummer_sphere(jax.random.PRNGKey(42),
+                                               num_stars=n)
+        state3 = make_state(pos3, vel3, m3)
+
+        def measure_3d(mode, quantize_forces):
+            q = Quantizer(mode)
+            t0 = time.time()
+            out = run_steps(state3, q, cfg, impl, quantize_forces, STEPS,
+                            uniform_gm=True)
+            np.asarray(out.positions[:1])
+            log(f"{mode.value} dim3: warmup {time.time() - t0:.1f}s")
+            wall = best_of(3, lambda: run_steps(state3, q, cfg, impl,
+                                                quantize_forces, STEPS,
+                                                uniform_gm=True))
+            pairs = n * n * STEPS / wall
+            log(f"{mode.value} dim3: N={n} {STEPS} steps: "
+                f"{wall / STEPS * 1e3:.2f} ms/step  {pairs:.3e} pairs/s")
+            return pairs
+
+        result["dim3_f32_value"] = measure_3d(Precision.FLOAT32, False)
+        result["dim3_int4_value"] = measure_3d(Precision.INT4_SIM, True)
+
+        pos3b, vel3b, m3b = create_plummer_sphere(jax.random.PRNGKey(43),
+                                                  num_stars=n_big)
+        state3_big = make_state(pos3b, vel3b, m3b)
+
+        def measure_3d_big(mode, quantize_forces):
+            q = Quantizer(mode)
+            t0 = time.time()
+            out = run_steps(state3_big, q, cfg, "auto", quantize_forces,
+                            steps_big, uniform_gm=True)
+            np.asarray(out.positions[:1])
+            log(f"{mode.value} dim3: N={n_big} warmup {time.time() - t0:.1f}s")
+            wall = best_of(2, lambda: run_steps(state3_big, q, cfg, "auto",
+                                                quantize_forces, steps_big,
+                                                uniform_gm=True))
+            pairs = n_big * n_big * steps_big / wall
+            log(f"{mode.value} dim3: N={n_big} {steps_big} steps: "
+                f"{wall / steps_big * 1e3:.0f} ms/step  "
+                f"{pairs:.3e} pairs/s")
+            return pairs
+
+        result["n1m_dim3_f32_value"] = measure_3d_big(Precision.FLOAT32,
+                                                      False)
+        result["n1m_dim3_int4_value"] = measure_3d_big(Precision.INT4_SIM,
+                                                       True)
 
         # Engine-level arm: the 256^3-grid PM cosmology engine at 262k
         # particles under int4 with EVERY host detector live (glitch

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from nbody_tpu.models.direct import DirectSimulation
-from nbody_tpu.models.galaxy import create_disk_galaxy
+from nbody_tpu.models.galaxy import create_disk_galaxy, create_plummer_sphere
 from nbody_tpu.ops.precision import Precision
 from nbody_tpu.utils.profiler import DeviceProfiler, fence
 
@@ -58,12 +58,20 @@ def _ticks_for(n: int, ticks_per_size: int) -> int:
     return max(5, min(ticks_per_size, int(budget / max(n * n, 1))))
 
 
-def run_density_sweep(counts=None, ticks_per_size: int = 1000, seed: int = 42):
-    """(reference: density_limit_test.py:206-267)"""
+def run_density_sweep(counts=None, ticks_per_size: int = 1000, seed: int = 42,
+                      dim: int = 2):
+    """(reference: density_limit_test.py:206-267)
+
+    ``dim=3`` sweeps the same kernels on Plummer-sphere ICs (the per-pair
+    op count differs at dim=3: one more subtract/square/fma lane — the
+    3-D engine is first-class in the reference, universe_3d.py)."""
     if counts is None:
         counts = (DEFAULT_COUNTS_TPU if jax.default_backend() == "tpu"
                   else DEFAULT_COUNTS)
-    print(f"\n{'=' * 60}\nDENSITY LIMIT TEST\n{'=' * 60}")
+    if dim not in (2, 3):
+        raise ValueError(f"dim must be 2 or 3, got {dim}")
+    make_ics = create_disk_galaxy if dim == 2 else create_plummer_sphere
+    print(f"\n{'=' * 60}\nDENSITY LIMIT TEST (dim={dim})\n{'=' * 60}")
     print(f"counts: {counts}, ticks each: <= {ticks_per_size}")
 
     results = []
@@ -72,8 +80,7 @@ def run_density_sweep(counts=None, ticks_per_size: int = 1000, seed: int = 42):
         print(f"\n  --- {mode_name} ---")
         for n in counts:
             ticks = _ticks_for(n, ticks_per_size)
-            pos, vel, m = create_disk_galaxy(jax.random.PRNGKey(seed),
-                                             num_stars=n)
+            pos, vel, m = make_ics(jax.random.PRNGKey(seed), num_stars=n)
             sim = DirectSimulation(pos, vel, m, precision=precision)
             # warm the EXACT program measured below (num_steps is a
             # static jit arg: a different count compiles a different
@@ -95,6 +102,7 @@ def run_density_sweep(counts=None, ticks_per_size: int = 1000, seed: int = 42):
             crashed = not np.isfinite(np.asarray(sim.positions)).all()
             results.append({
                 "mode": mode_name,
+                "dim": dim,
                 "num_stars": n,
                 "ticks": ticks,
                 "ms_per_tick": ms_per_tick,
@@ -194,6 +202,9 @@ def main(argv=None):
                         "bounds large-N rows below this)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dim", type=int, default=2, choices=(2, 3),
+                   help="2: disk-galaxy ICs (reference default); "
+                        "3: Plummer-sphere ICs")
     p.add_argument("--output", type=str, default="output/density_limit")
     args = p.parse_args(argv)
 
@@ -203,10 +214,12 @@ def main(argv=None):
         counts = [100, 250, 500, 1000, 2000]
         args.ticks = 50
 
-    results = run_density_sweep(counts, args.ticks, args.seed)
+    results = run_density_sweep(counts, args.ticks, args.seed, dim=args.dim)
     print(f"\n{'=' * 60}\nSCALING ANALYSIS\n{'=' * 60}")
     verdicts = analyze_scaling(results)
 
+    if args.dim == 3 and args.output == "output/density_limit":
+        args.output = "output/density_limit_3d"  # don't clobber the 2-D report
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
     (out / "density_limit_report.json").write_text(json.dumps({

@@ -79,6 +79,54 @@ def create_test_galaxy(key, num_stars: int = 1000,
     return positions.astype(jnp.float32), velocities.astype(jnp.float32), masses
 
 
+@functools.partial(jax.jit, static_argnames=("num_stars", "scale_radius",
+                                              "G"))
+def create_plummer_sphere(key, num_stars: int = 5000,
+                          scale_radius: float = 10.0,
+                          G: float = 0.001) -> Arrays:
+    """3-D Plummer sphere with isotropic Gaussian velocities.
+
+    The flagship 3-D IC (the reference's 3-D engine seeds a uniform
+    box + Hubble flow, universe_3d.py:1182-1234; for direct-kernel 3-D
+    benchmarks a self-gravitating equilibrium model exercises the same
+    kernels with bounded dynamics). Radii are drawn by inverse-CDF
+    sampling of the Plummer cumulative mass profile
+    M(<r)/M = (r/a)^3 / (1 + (r/a)^2)^{3/2}, truncated at 10a;
+    directions are uniform on S^2; velocities are isotropic Gaussians
+    with the local Plummer dispersion sigma^2(r) = G M / (6 sqrt(r^2 +
+    a^2)) — the standard jit-friendly approximation of the exact
+    distribution function (no rejection loop, so the whole IC is one
+    traced program like the 2-D generators above). Masses are all 1.0
+    (keeps the equal-mass kernel fast path applicable)."""
+    k_r, k_dir, k_v = jax.random.split(key, 3)
+    a = scale_radius
+    total_mass = float(num_stars)
+
+    # Inverse CDF: u = x^3/(1+x^2)^{3/2}  =>  x = u^{1/3}/sqrt(1-u^{2/3}),
+    # with u capped so r <= 10a (u_max = CDF(10a)).
+    u_max = 1000.0 / (1.0 + 100.0) ** 1.5
+    u = jax.random.uniform(k_r, (num_stars,), minval=1e-6, maxval=u_max)
+    u23 = u ** (2.0 / 3.0)
+    radii = a * jnp.sqrt(u23 / (1.0 - u23))
+    radii = jnp.clip(radii, 0.05 * a, 10.0 * a)
+
+    # Uniform directions on S^2: z ~ U(-1,1), phi ~ U(0, 2pi).
+    z = jax.random.uniform(k_dir, (num_stars,), minval=-1.0, maxval=1.0)
+    phi = jax.random.uniform(jax.random.fold_in(k_dir, 1),
+                             (num_stars,)) * 2.0 * math.pi
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    positions = jnp.stack([radii * s * jnp.cos(phi),
+                           radii * s * jnp.sin(phi),
+                           radii * z], axis=-1)
+
+    sigma = jnp.sqrt(G * total_mass
+                     / (6.0 * jnp.sqrt(radii * radii + a * a)))
+    velocities = jax.random.normal(k_v, (num_stars, 3)) * sigma[:, None]
+    masses = jnp.ones((num_stars,), jnp.float32)
+    return (positions.astype(jnp.float32), velocities.astype(jnp.float32),
+            masses)
+
+
 def nfw_enclosed_mass(r: jnp.ndarray, M_total: float, r_s: float) -> jnp.ndarray:
     """Analytic NFW M(<r) = M_total * f(r/r_s) / f(10), with
     f(x) = ln(1+x) - x/(1+x) (reference: galaxy.py:127-139)."""

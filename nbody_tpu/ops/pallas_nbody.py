@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nbody_tpu.config import SimConfig
 from nbody_tpu.ops.precision import (
+    Precision,
     Quantizer,
     dist_sq_log_bounds,
     quantize_distance_squared,
@@ -519,6 +520,15 @@ def pallas_accelerations_sym(positions, masses, q: Quantizer,
         # f32 prefers 512 (3.243e11 vs 3.150e11). The equal-mass path's
         # shorter chain flips int back to 512 (61.5 vs 63.2 ms/step).
         block = 256 if (q.is_int and not uniform_gm) else 512
+        if dim >= 3 and (q.mode == Precision.FLOAT16 or q.is_int):
+            # The third diff lane's extra per-tile temporaries (plus the
+            # f16 RNE bit-emulation's, or the int log-grid chain's)
+            # overflow the 16 MB scoped-VMEM stack at (512, 1024) tiles —
+            # measured 16.27M (f16) / 16.40M (int8-uniform) > 16M at
+            # N=131k. 256-sublane receiver blocks fit with headroom and
+            # win the on-chip sweep: int4 2.781e11 at (256,1024) vs
+            # 2.692e11 at (512,512); int8 2.748e11 vs 2.722e11.
+            block = 256
     quantum = math.lcm(block, 128)
     if block_j is None:
         block_j = min(_round_up(1024, quantum),
@@ -1081,7 +1091,13 @@ def pallas_pair_force_sym(receivers, gm_recv, sources, gm_src,
     if block_j is None:
         # 2048-lane slices are +24% over 512 on chip (docs/PERF.md), but
         # only when the source size doesn't force pathological padding.
-        block_j = _pick_block_j(n_j)
+        # At dim>=3 the wide tiles lose BOTH ways: the third diff lane's
+        # temporaries put the (256,2048) tile at 19.66M scoped VMEM
+        # (>16M limit once XLA keeps the lane-major reaction output
+        # VMEM-resident inside a fused step, as run_steps does), and the
+        # on-chip sweep at 350k x 350k has 512 lanes fastest anyway
+        # (f32 1.62e11 vs 1.35e11 at 1024; int4 1.33e11 vs 1.12e11).
+        block_j = _pick_block_j(n_j, cap=512 if dim >= 3 else 2048)
     ni_pad = _round_up(max(n_i, block_i), block_i)
     nj_pad = _round_up(max(n_j, block_j, 128), math.lcm(block_j, 128))
     if ni_pad != n_i or nj_pad != n_j:

@@ -211,6 +211,45 @@ def test_halo_galaxy_flattens_rotation_curve():
     assert outer_ratio_h > outer_ratio_d
 
 
+def test_plummer_sphere_shapes_and_profile():
+    """3-D Plummer ICs: correct shapes, the analytic half-mass radius
+    r_half = a / sqrt(2^(2/3) - 1) ~= 1.305 a, and bound virial-scale
+    velocities (no star beyond ~2x local escape speed)."""
+    a = 10.0
+    pos, vel, m = galaxy.create_plummer_sphere(jax.random.PRNGKey(0),
+                                               4000, scale_radius=a)
+    assert pos.shape == (4000, 3) and vel.shape == (4000, 3)
+    assert m.shape == (4000,) and np.asarray(m == 1.0).all()
+    r = np.linalg.norm(np.asarray(pos), axis=1)
+    assert r.max() <= 10.0 * a + 1e-3
+    r_half = np.median(r)
+    # truncation at 10a removes ~3% of the mass, biasing the sample
+    # median slightly low; accept a 10% window around 1.305a
+    assert abs(r_half - 1.305 * a) < 0.13 * 1.305 * a
+    # isotropy: mean specific angular momentum ~ 0 (unlike the disk ICs)
+    lz = np.asarray(pos[:, 0] * vel[:, 1] - pos[:, 1] * vel[:, 0])
+    assert abs(lz.mean()) < 3.0 * lz.std() / np.sqrt(len(lz))
+    v = np.linalg.norm(np.asarray(vel), axis=1)
+    v_esc = np.sqrt(2.0 * 0.001 * 4000.0 / np.sqrt(r * r + a * a))
+    assert (v < 2.0 * v_esc).all()
+
+
+def test_plummer_sphere_integrates_stably():
+    """200 f32 ticks on the 3-D equilibrium model: bounded energy drift
+    and no blow-up (the 3-D analogue of the disk stability gate)."""
+    from nbody_tpu.diagnostics.metrics import total_energy
+
+    pos, vel, m = galaxy.create_plummer_sphere(jax.random.PRNGKey(1), 256)
+    sim = DirectSimulation(pos, vel, m, precision=Precision.FLOAT32)
+    e0 = float(total_energy(sim.state.positions, sim.state.velocities,
+                            sim.state.masses, sim.cfg))
+    sim.step(200)
+    e1 = float(total_energy(sim.state.positions, sim.state.velocities,
+                            sim.state.masses, sim.cfg))
+    assert np.isfinite(np.asarray(sim.positions)).all()
+    assert abs(e1 - e0) / abs(e0) < 0.02
+
+
 def test_nfw_enclosed_mass_monotone():
     r = jnp.linspace(0.1, 100.0, 200)
     M = galaxy.nfw_enclosed_mass(r, 1000.0, 30.0)
